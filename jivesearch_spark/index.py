@@ -1,0 +1,341 @@
+"""Inverted-index build — term-partitioned compressed postings at scale.
+
+Architecture (the 10^12-doc design point, tested at small scale):
+
+- **Dense doc ids** assigned by deterministic global sort of url
+  (range-partition → sort-within → zipWithIndex): ids are
+  partition-count invariant, so every downstream artifact is too.
+- **Doc-sharded postings**: shard = docid // docs_per_shard, the same
+  doc ranges for every term (an ES/Lucene-style document-partitioned
+  index — reference runs one ES index per language with hash-sharded
+  docs, document/elasticsearch.go:23-58). Head-term skew is bounded by
+  construction: a term's postings within one shard ≤ docs_per_shard,
+  so no groupBy group can exceed that — this replaces ad-hoc key
+  salting with a deterministic equivalent (same effect, reproducible
+  bytes).
+- **Term buckets**: bucket = murmur3(term) % n_buckets is the parquet
+  partition column → query-side predicate pushdown prunes directories
+  by bucket and row groups by term min/max.
+- **Blocks**: 128-posting varint blocks with block-max metadata
+  (codec.py), byte-identical for a given (corpus, params) at ANY build
+  parallelism — the determinism gate (FIXTURES.md §4).
+- **Resumable two-stage build** (the reference's staged-publish
+  pattern, postgresql.go:320-369, re-expressed as snapshot commits):
+  stage 1 materializes tf + term_stats + doc tables and commits a
+  manifest; stage 2 encodes postings bucket-batch by bucket-batch,
+  committing per-batch lineage + row/byte/term metrics to the
+  manifest. A killed build rerun with resume=True skips every
+  committed batch (idempotent: batches write to their own dirs).
+
+Everything relational is DataFrame built-ins (codegen); the only
+Python is the Arrow-batched encode kernel (applyInPandas per
+(term, shard) group, numpy inside).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import analyze, codec
+from .session import ensure_shipped
+
+MANIFEST = "manifest.json"
+
+
+@dataclass
+class IndexParams:
+    docs_per_shard: int = 1 << 20      # postings group bound (skew cap)
+    n_buckets: int = 16                # term-hash parquet partitions
+    bucket_batch: int = 8              # buckets committed per stage-2 job
+    k1: float = 1.2
+    b: float = 0.75
+    block_size: int = codec.BLOCK_SIZE
+    codec_version: int = codec.CODEC_VERSION
+
+
+@dataclass
+class Manifest:
+    params: dict
+    n_docs: int = 0
+    avgdl: float = 0.0
+    n_shards: int = 0
+    stage1_done: bool = False
+    completed_batches: dict = field(default_factory=dict)  # batch_key -> metrics
+    done: bool = False
+
+    @classmethod
+    def load(cls, root: str) -> "Manifest | None":
+        p = os.path.join(root, MANIFEST)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            d = json.load(f)
+        return cls(**d)
+
+    def save(self, root: str) -> None:
+        os.makedirs(root, exist_ok=True)
+        tmp = os.path.join(root, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(asdict(self), f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(root, MANIFEST))  # atomic commit
+
+
+def assign_doc_ids(docs: DataFrame, key: str = "url") -> DataFrame:
+    """Dense deterministic docids: global sort by key → zipWithIndex.
+
+    Range partitioning keeps the sort distributed (no single-partition
+    window); zipWithIndex adds per-partition offsets with one extra
+    count job. Output ids are invariant to input partitioning.
+    """
+    spark = docs.sparkSession
+    deduped = docs.dropDuplicates([key])
+    p = max(2, spark.sparkContext.defaultParallelism)
+    ranged = deduped.repartitionByRange(p, F.col(key)).sortWithinPartitions(key)
+    schema = "docid long, " + ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema.fields)
+    rdd = ranged.rdd.zipWithIndex().map(lambda t: (t[1], *t[0]))
+    return spark.createDataFrame(rdd, schema=schema)
+
+
+def _tf_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = docs.select(F.col(id_col).alias("docid"),
+                       analyze.tokens(F.col(text_col)).alias("toks"))
+    return (
+        toks.select("docid", F.size("toks").alias("dl"),
+                    F.explode("toks").alias("term"))
+        .groupBy("term", "docid", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None,
+                id_col: str = "docid", text_col: str = "text",
+                url_col: str | None = "url", resume: bool = False,
+                log=print) -> Manifest:
+    """Build a complete index at ``out_dir``.
+
+    ``docs`` must already carry dense docids (assign_doc_ids) unless
+    url_col is given and id_col is absent.
+    """
+    params = params or IndexParams()
+    spark = docs.sparkSession
+    ensure_shipped(spark)
+
+    man = Manifest.load(out_dir) if resume else None
+    if man is None:
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        man = Manifest(params=asdict(params))
+    elif man.params != asdict(params):
+        raise ValueError("resume with different params; rebuild instead")
+
+    tf_path = os.path.join(out_dir, "tf_staging")
+    stats_path = os.path.join(out_dir, "term_stats")
+    dict_path = os.path.join(out_dir, "dictionary")
+    dlen_path = os.path.join(out_dir, "doc_lengths")
+    post_path = os.path.join(out_dir, "postings")
+
+    # ---- stage 1: materialize tf + stats (the resume checkpoint) ----
+    if not man.stage1_done:
+        t0 = time.time()
+        if id_col not in docs.columns:
+            docs = assign_doc_ids(docs, key=url_col)
+            id_col = "docid"
+        docs = docs.persist()
+
+        tf = _tf_table(docs, id_col, text_col).withColumn(
+            "bucket", F.pmod(F.hash("term"), F.lit(params.n_buckets)))
+        tf.write.mode("overwrite").partitionBy("bucket").parquet(tf_path)
+
+        tf_staged = spark.read.parquet(tf_path)
+        (tf_staged.groupBy("term")
+         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
+              F.first("bucket").alias("bucket"))
+         .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
+
+        dl = tf_staged.select("docid", "dl").dropDuplicates(["docid"])
+        dl.write.mode("overwrite").parquet(dlen_path)
+
+        if url_col and url_col in docs.columns:
+            docs.select(F.col(id_col).alias("docid"), F.col(url_col).alias("url")) \
+                .write.mode("overwrite").parquet(dict_path)
+
+        row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+        # n_docs counts docs with ≥1 token; avgdl over the same set —
+        # pinned (matches oracle built over tokenized docs)
+        n_all = docs.count()
+        man.n_docs = n_all
+        man.avgdl = float(row["avgdl"] or 0.0) * (row["n"] / n_all) if n_all else 0.0
+        man.n_shards = max(1, -(-n_all // params.docs_per_shard))
+        man.stage1_done = True
+        man.save(out_dir)
+        docs.unpersist()
+        log(f"[index] stage1 done in {time.time()-t0:.1f}s: "
+            f"n_docs={man.n_docs} avgdl={man.avgdl:.3f} shards={man.n_shards}")
+
+    # ---- stage 2: encode postings, bucket-batch at a time ----
+    n_docs, avgdl = man.n_docs, man.avgdl
+    k1, b, dps = params.k1, params.b, params.docs_per_shard
+
+    def _encode(pdf):
+        import pandas as pd
+        term = pdf["term"].iloc[0]
+        bucket = int(pdf["bucket"].iloc[0])
+        shard = int(pdf["shard"].iloc[0])
+        df_t = int(pdf["df"].iloc[0])
+        order = np.argsort(pdf["docid"].values, kind="mergesort")
+        docids = pdf["docid"].values[order]
+        tfs = pdf["tf"].values[order]
+        dls = pdf["dl"].values[order]
+        idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+        rows = [
+            (bucket, term, shard, r["block_id"], r["first_docid"],
+             r["last_docid"], r["n_docs"], r["max_score_ub"],
+             r["deltas"], r["tfs"], r["dls"])
+            for r in codec.encode_blocks(docids, tfs, dls, idf, k1, b, avgdl)
+        ]
+        return pd.DataFrame(rows, columns=[
+            "bucket", "term", "shard", "block_id", "first_docid",
+            "last_docid", "n_docs", "max_score_ub", "deltas", "tfs", "dls"])
+
+    POSTINGS_SCHEMA = (
+        "bucket int, term string, shard int, block_id int, first_docid long, "
+        "last_docid long, n_docs int, max_score_ub double, "
+        "deltas binary, tfs binary, dls binary")
+
+    tf_staged = spark.read.parquet(tf_path)
+    stats = spark.read.parquet(stats_path)
+
+    all_buckets = list(range(params.n_buckets))
+    batches = [all_buckets[i:i + params.bucket_batch]
+               for i in range(0, len(all_buckets), params.bucket_batch)]
+
+    for batch in batches:
+        key = f"buckets_{batch[0]}_{batch[-1]}"
+        if key in man.completed_batches:
+            log(f"[index] resume: skipping {key}")
+            continue
+        t0 = time.time()
+        part = (
+            tf_staged.where(F.col("bucket").isin(batch))
+            .join(stats.where(F.col("bucket").isin(batch)).select("term", "df"), "term")
+            .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int"))
+        )
+        out = part.groupBy("bucket", "term", "shard").applyInPandas(
+            _encode, schema=POSTINGS_SCHEMA)
+        for bk in batch:  # idempotent: wipe any partial output of a crashed run
+            d = os.path.join(post_path, f"bucket={bk}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        out.write.mode("append").partitionBy("bucket").parquet(post_path)
+
+        written = spark.read.parquet(post_path).where(F.col("bucket").isin(batch))
+        m = written.agg(
+            F.count(F.lit(1)).alias("blocks"),
+            F.countDistinct("term").alias("terms"),
+            F.sum("n_docs").alias("postings"),
+            F.sum(F.length("deltas") + F.length("tfs") + F.length("dls")).alias("bytes"),
+        ).collect()[0]
+        man.completed_batches[key] = {
+            "buckets": batch, "blocks": int(m["blocks"]), "terms": int(m["terms"]),
+            "postings": int(m["postings"] or 0), "bytes": int(m["bytes"] or 0),
+            "seconds": round(time.time() - t0, 2),
+        }
+        man.save(out_dir)
+        log(f"[index] {key}: {m['terms']} terms, {m['postings']} postings, "
+            f"{m['bytes']} B in {time.time()-t0:.1f}s")
+
+    man.done = True
+    man.save(out_dir)
+    return man
+
+
+# ---------------------------------------------------------------------------
+# Deterministic segment merge (FIXTURES.md §4 merge fixture)
+# ---------------------------------------------------------------------------
+
+def merge_indexes(spark, seg_dirs: list[str], out_dir: str,
+                  params: IndexParams | None = None, log=print) -> Manifest:
+    """Merge segment indexes built over disjoint doc-id ranges.
+
+    Decodes each segment's blocks back to (term, docid, tf, dl) rows
+    (vectorized), unions them, and re-runs the stage-2 encode with the
+    combined corpus stats — producing bytes identical to a single-shot
+    build over the union (the determinism gate). This is the
+    incremental-refresh path: new snapshot → new segment → merge.
+    """
+    params = params or IndexParams()
+    mans = [Manifest.load(d) for d in seg_dirs]
+    if any(m is None or not m.done for m in mans):
+        raise ValueError("all segments must be complete")
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    tf_parts = []
+    total_docs = 0
+    dl_sum = 0.0
+    for d, m in zip(seg_dirs, mans):
+        total_docs += m.n_docs
+        dl_sum += m.avgdl * m.n_docs
+        tf_parts.append(_decode_postings_df(spark, os.path.join(d, "postings")))
+    tf_all = tf_parts[0]
+    for t in tf_parts[1:]:
+        tf_all = tf_all.unionByName(t)
+
+    man = Manifest(params=asdict(params))
+    man.n_docs = total_docs
+    man.avgdl = dl_sum / total_docs if total_docs else 0.0
+    man.n_shards = max(1, -(-total_docs // params.docs_per_shard))
+    man.stage1_done = True
+
+    tf_path = os.path.join(out_dir, "tf_staging")
+    stats_path = os.path.join(out_dir, "term_stats")
+    os.makedirs(out_dir, exist_ok=True)
+    tf_all = tf_all.withColumn(
+        "bucket", F.pmod(F.hash("term"), F.lit(params.n_buckets)))
+    tf_all.write.mode("overwrite").partitionBy("bucket").parquet(tf_path)
+    staged = spark.read.parquet(tf_path)
+    (staged.groupBy("term")
+     .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
+          F.first("bucket").alias("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
+    # merge dictionaries + doc_lengths
+    for sub in ("dictionary", "doc_lengths"):
+        srcs = [os.path.join(d, sub) for d in seg_dirs if os.path.exists(os.path.join(d, sub))]
+        if srcs:
+            dfx = spark.read.parquet(*srcs)
+            dfx.write.mode("overwrite").parquet(os.path.join(out_dir, sub))
+    man.save(out_dir)
+    # re-run stage 2 through build machinery
+    dummy = spark.createDataFrame([(0, "")], "docid long, text string").limit(0)
+    return build_index(dummy, out_dir, params, resume=True, url_col=None, log=log)
+
+
+def _decode_postings_df(spark, postings_path: str) -> DataFrame:
+    """postings parquet → (term, docid, dl, tf) rows, vectorized decode."""
+    import pandas as pd
+
+    ensure_shipped(spark)
+
+    def _dec(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                docids, tfs, dls = codec.decode_block(r.deltas, r.tfs, r.dls, r.n_docs)
+                outs.append(pd.DataFrame({
+                    "term": r.term, "docid": docids, "dl": dls, "tf": tfs}))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"term": pd.Series(dtype="str"), "docid": pd.Series(dtype="int64"),
+                 "dl": pd.Series(dtype="int64"), "tf": pd.Series(dtype="int64")})
+
+    return spark.read.parquet(postings_path).mapInPandas(
+        _dec, schema="term string, docid long, dl long, tf long")

@@ -1,0 +1,208 @@
+"""Top-k BM25 query engine over the compressed inverted index.
+
+Query plan (SURVEY.md §3.1 stages 6-7, re-expressed for Spark):
+
+1. term_stats lookup for the analyzed query terms — bucket-partition
+   pruning + term row-group pushdown; |Q| rows to the driver → idf.
+2. postings scan filtered to ``bucket IN buckets(Q) AND term IN Q`` —
+   Catalyst pushes both into the parquet scan (directory pruning +
+   row-group min/max on term), so IO is proportional to the query's
+   posting lists, never the corpus.
+3. per-shard score kernel (applyInPandas over shard groups — every
+   query term's postings for a doc range are co-located by
+   construction): vectorized numpy decode + BM25, with optional
+   score-neutral **block-max pruning** (WAND-style): a candidate doc
+   is exactly scored only if the sum of its terms' block-max upper
+   bounds can beat the running top-k threshold obtained from an exact
+   first pass over the two strongest terms. Skipped docs provably
+   cannot enter the top-k, so WAND on/off is rank-identical (gate in
+   tests).
+4. global top-k: union of per-shard top-ks → TakeOrderedAndProject
+   (no global sort).
+
+The per-query latency path touches only: 1 driver lookup (|Q| rows),
+1 pruned postings scan, S kernel tasks, 1 tiny merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import analyze, bm25, codec
+from .index import Manifest
+from .session import ensure_shipped
+
+
+class IndexReader:
+    """Handle on an on-disk index (paths + manifest + cached stats)."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+        self.man = Manifest.load(root)
+        if self.man is None or not self.man.done:
+            raise ValueError(f"no complete index at {root}")
+        self.n_buckets = self.man.params["n_buckets"]
+        self.postings = spark.read.parquet(f"{root}/postings")
+        self.term_stats = spark.read.parquet(f"{root}/term_stats")
+        ensure_shipped(spark)
+
+    def buckets_of(self, terms: list[str]) -> list[int]:
+        # driver-side Spark-compatible murmur3 — no job per query
+        from .hashing import term_bucket
+        return sorted({term_bucket(t, self.n_buckets) for t in terms})
+
+    def stats_for(self, terms: list[str]) -> dict[str, int]:
+        bks = self.buckets_of(terms)
+        rows = (self.term_stats
+                .where(F.col("bucket").isin(bks) & F.col("term").isin(terms))
+                .select("term", "df").collect())
+        return {r["term"]: r["df"] for r in rows}
+
+
+def bm25_topk_indexed(reader: IndexReader, query: str, k: int = 10,
+                      use_wand: bool = True,
+                      min_should_match: bool = False) -> DataFrame:
+    """Top-k over the compressed index; returns (docid, score)."""
+    q_terms = sorted(set(analyze.py_tokens(query)))
+    spark = reader.spark
+    empty = spark.createDataFrame([], "docid long, score double")
+    if not q_terms:
+        return empty
+
+    dfs = reader.stats_for(q_terms)
+    present = [t for t in q_terms if t in dfs]
+    if not present:
+        return empty
+    n_docs, avgdl = reader.man.n_docs, reader.man.avgdl
+    k1, b = reader.man.params["k1"], reader.man.params["b"]
+    idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+           for t in present}
+    req = bm25.msm_required(len(q_terms)) if min_should_match else 0
+
+    bks = reader.buckets_of(present)
+    blocks = (reader.postings
+              .where(F.col("bucket").isin(bks) & F.col("term").isin(present))
+              .select("term", "shard", "block_id", "first_docid", "last_docid",
+                      "n_docs", "max_score_ub", "deltas", "tfs", "dls"))
+
+    idf_b = idf  # closure
+    wand = use_wand
+    kk = k
+
+    def _score_shard(pdf):
+        import pandas as pd
+        out_doc, out_score = _score_shard_np(pdf, idf_b, k1, b, avgdl, kk, req, wand)
+        return pd.DataFrame({"docid": out_doc, "score": out_score})
+
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        _score_shard, schema="docid long, score double")
+
+    return per_shard.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+
+
+def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
+                    k: int, msm_req: int, use_wand: bool):
+    """Vectorized per-shard kernel. Returns (docids, scores) of the
+    local top-k (score-neutral under pruning)."""
+    terms = {}
+    pdf = pdf.sort_values(["term", "block_id"], kind="mergesort")
+    for term, g in pdf.groupby("term", sort=True):
+        docids, tfs, dls = [], [], []
+        ubs = g["max_score_ub"].values
+        firsts = g["first_docid"].values
+        for r in g.itertuples(index=False):
+            d, t, l = codec.decode_block(r.deltas, r.tfs, r.dls, r.n_docs)
+            docids.append(d)
+            tfs.append(t)
+            dls.append(l)
+        d = np.concatenate(docids)
+        t = np.concatenate(tfs).astype(np.float64)
+        l = np.concatenate(dls).astype(np.float64)
+        w = idf[term]
+        scores = w * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / max(avgdl, 1e-9)))
+        # per-posting block index for block-max UB lookup
+        blk_of = np.repeat(np.arange(len(g)), g["n_docs"].values)
+        terms[term] = {
+            "docids": d, "scores": scores, "block_ub": ubs,
+            "block_first": firsts, "blk_of": blk_of, "max_ub": float(ubs.max()),
+        }
+
+    if not terms:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+
+    names = sorted(terms, key=lambda t: -terms[t]["max_ub"])
+
+    def exact_scores(cand: np.ndarray):
+        total = np.zeros(cand.size)
+        matched = np.zeros(cand.size, dtype=np.int32)
+        for t in sorted(terms):  # fixed accumulation order (determinism)
+            td = terms[t]
+            pos = np.searchsorted(td["docids"], cand)
+            pos_c = np.minimum(pos, td["docids"].size - 1)
+            hit = td["docids"][pos_c] == cand
+            total += np.where(hit, td["scores"][pos_c], 0.0)
+            matched += hit.astype(np.int32)
+        return total, matched
+
+    if not use_wand or len(names) <= 1:
+        cand = np.unique(np.concatenate([terms[t]["docids"] for t in names]))
+        total, matched = exact_scores(cand)
+    else:
+        # ---- block-max two-phase pruning (score-neutral) ----
+        # phase 1: exact over the strongest 2 terms' candidates → θ
+        seed_terms = names[:2]
+        cand1 = np.unique(np.concatenate([terms[t]["docids"] for t in seed_terms]))
+        tot1, mat1 = exact_scores(cand1)
+        if msm_req:
+            ok = mat1 >= msm_req
+            sc_for_theta = tot1[ok]
+        else:
+            sc_for_theta = tot1
+        if sc_for_theta.size >= k:
+            theta = np.partition(sc_for_theta, -k)[-k]
+        else:
+            theta = -np.inf
+        # phase 2: docs only in the remaining terms; UB via block-max
+        rest = names[2:]
+        if rest:
+            cand2 = np.unique(np.concatenate([terms[t]["docids"] for t in rest]))
+            cand2 = cand2[~np.isin(cand2, cand1, assume_unique=True)]
+            if cand2.size:
+                ub = np.zeros(cand2.size)
+                for t in names:
+                    td = terms[t]
+                    # block containing/preceding each candidate
+                    bi = np.searchsorted(td["block_first"], cand2, side="right") - 1
+                    bi = np.clip(bi, 0, len(td["block_ub"]) - 1)
+                    # candidate may fall between blocks; UB of the located
+                    # block is a valid bound when the doc is in the list,
+                    # and irrelevant when absent — include membership test
+                    pos = np.searchsorted(td["docids"], cand2)
+                    pos_c = np.minimum(pos, td["docids"].size - 1)
+                    present = td["docids"][pos_c] == cand2
+                    ub += np.where(present, td["block_ub"][bi], 0.0)
+                keep = ub >= theta if np.isfinite(theta) else np.ones(cand2.size, bool)
+                cand2 = cand2[keep]
+            if cand2.size:
+                tot2, mat2 = exact_scores(cand2)
+                cand = np.concatenate([cand1, cand2])
+                total = np.concatenate([tot1, tot2])
+                matched = np.concatenate([mat1, mat2])
+            else:
+                cand, total, matched = cand1, tot1, mat1
+        else:
+            cand, total, matched = cand1, tot1, mat1
+
+    if msm_req:
+        ok = matched >= msm_req
+        cand, total = cand[ok], total[ok]
+    if cand.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+
+    kloc = min(k, cand.size)
+    # top-k by (-score, docid): argsort on structured order
+    idx = np.lexsort((cand, -total))[:kloc]
+    return cand[idx].astype(np.int64), total[idx]
