@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k against one query vector —
+  entirely JVM-side (zip_with/aggregate, codegen), the correctness
+  baseline. One scan, no shuffle except the final TakeOrdered.
+- ``cosine_pairs``: exact all-pairs above a similarity threshold
+  (bounded scopes only).
+- ``rp_lsh_buckets`` / ``ann_topk_lsh``: random-hyperplane (SimHash
+  for vectors) LSH — the scale path. Signatures are computed in one
+  vectorized numpy kernel; search probes only buckets within a small
+  Hamming radius of the query's signature, so the candidate set is a
+  tiny fraction of the corpus. Recall/latency trade via n_bits and
+  probe radius; exactness is NOT claimed (tests measure recall vs the
+  brute-force baseline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..session import ensure_shipped
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k vs one query vector; (id, cosine)."""
+    q = F.transform(F.lit(query_vec), lambda x: x.cast("double"))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    cos = _dot(v, q) / (_norm(v) * F.lit(qn))
+    return (
+        emb.select(F.col(id_col).alias("id"), cos.alias("cosine"))
+        .where(F.col("cosine").isNotNull())
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+    )
+
+
+def cosine_pairs(emb: DataFrame, threshold: float = 0.95,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact near-dup pairs by cosine ≥ threshold (O(n²) — small scopes
+    or within LSH buckets only)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                      _norm(v).alias("nrm"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", _dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm")))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def rp_lsh_buckets(emb: DataFrame, dim: int, n_bits: int = 10,
+                   n_tables: int = 8, seed: int = 42,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, table, bucket) — multi-table random-hyperplane LSH, one
+    vectorized Arrow kernel (numpy matmul over the whole batch, all
+    tables at once). Multi-table is the standard recall lever: a pair
+    is a candidate if it collides in ANY table."""
+    import pandas as pd
+
+    ensure_shipped(emb.sparkSession)
+    H = _hyperplanes(dim, n_bits, n_tables, seed)
+    powers = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+
+    def _sig(batch_iter):
+        for pdf in batch_iter:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "table": [], "bucket": []})
+                continue
+            mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            ids = np.repeat(pdf["id"].values, n_tables)
+            tables = np.tile(np.arange(n_tables), len(pdf))
+            # (rows, tables, bits) sign matrix in one einsum
+            bits = np.einsum("rd,tbd->rtb", mat, H) > 0
+            buckets = (bits.astype(np.uint64) * powers[None, None, :]).sum(axis=2)
+            yield pd.DataFrame({"id": ids, "table": tables,
+                                "bucket": buckets.reshape(-1).astype(np.int64)})
+
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return src.mapInPandas(_sig, schema="id long, table int, bucket long")
+
+
+def query_buckets(query_vec, n_bits: int = 10, n_tables: int = 8,
+                  seed: int = 42, probe_hamming: int = 1) -> list[tuple[int, int]]:
+    """(table, bucket) probes for a query vector (radius ≤ probe_hamming)."""
+    dim = len(query_vec)
+    H = _hyperplanes(dim, n_bits, n_tables, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probes = []
+    for t in range(n_tables):
+        bits = (H[t] @ q) > 0
+        sig = int((bits.astype(np.uint64)
+                   << np.arange(n_bits, dtype=np.uint64)).sum())
+        probes.append((t, sig))
+        if probe_hamming >= 1:
+            for i in range(n_bits):
+                probes.append((t, sig ^ (1 << i)))
+    return probes
+
+
+def ann_topk_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_bits: int = 10, n_tables: int = 8, probe_hamming: int = 1,
+                 seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: union of same-bucket candidates across all
+    tables (± probe radius), exact cosine inside the candidate set.
+
+    At scale the (table, bucket) layout is the partition key of a
+    precomputed LSH table; this function recomputes it inline for
+    self-contained use."""
+    buckets = rp_lsh_buckets(emb, len(query_vec), n_bits, n_tables, seed,
+                             id_col, vec_col)
+    probes = query_buckets(query_vec, n_bits, n_tables, seed, probe_hamming)
+    probe_df = buckets.sparkSession.createDataFrame(
+        probes, "table int, bucket long")
+    cand_ids = (buckets.join(F.broadcast(probe_df), ["table", "bucket"])
+                .select("id").distinct())
+    cands = emb.join(cand_ids.withColumnRenamed("id", id_col), id_col, "inner")
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)

@@ -1,0 +1,115 @@
+"""Multimodal binary-column plumbing (image/audio/video as opaque bytes).
+
+The reference crawls image URLs into a separate ES index with typed
+metadata and an NSFW score (/root/reference/search/image/
+elasticsearch.go:224-274, scorer image/cmd/images.go:153-208). At
+training-data scale the same shape is: an opaque ``binary`` payload
+column + typed metadata columns, with decode / feature-extraction /
+resize / frame-sampling as Arrow-batched kernels.
+
+This container has no image/audio libraries, so the decode step is a
+clearly marked deterministic STUB (sniffs real magic bytes, then
+derives deterministic pseudo-features from a digest). The Spark-side
+plumbing — schema, batch shape, partition behavior, UDF signatures —
+is real and tested; swapping ``_stub_decode`` for PIL/torchvision is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..session import ensure_shipped
+
+MEDIA_SCHEMA = ("media_id long, kind string, width int, height int, "
+                "n_frames int, feature array<float>, nsfw_score double, ok boolean")
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mp3"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+]
+
+
+def sniff_kind(data: bytes | None) -> str:
+    if not data:
+        return "unknown"
+    for magic, kind in _MAGIC:
+        if data.startswith(magic):
+            return kind
+    return "application/octet-stream"
+
+
+def _stub_decode(data: bytes, feature_dim: int = 8):
+    """STUB decode: deterministic pseudo-decode from a digest.
+
+    Real implementation would be: PIL.Image.open → size / resize /
+    embedding model. Raises nothing; callers see ok=False rows for
+    undecodable payloads, mirroring the reference's skip-on-error
+    (image/cmd/images.go:162-171).
+    """
+    kind = sniff_kind(data)
+    if kind in ("unknown", "application/octet-stream"):
+        return kind, None
+    h = hashlib.sha256(data).digest()
+    width = 16 + h[0] * 4
+    height = 16 + h[1] * 4
+    n_frames = 1 if kind.startswith("image/") else 1 + h[2] % 64
+    feat = [round(b / 255.0, 6) for b in h[3:3 + feature_dim]]
+    nsfw = round(h[11] / 255.0, 2)  # reference rounds scores to 2dp (images.go:185-205)
+    return kind, (width, height, n_frames, feat, nsfw)
+
+
+def decode_media(media: DataFrame, id_col: str = "media_id",
+                 payload_col: str = "payload", feature_dim: int = 8) -> DataFrame:
+    """binary payloads → typed media rows, Arrow-batched (mapInPandas).
+
+    Narrow map: no shuffle; payload bytes never leave the executor
+    that scanned them. Batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so decoded frames fit
+    executor memory regardless of payload sizes.
+    """
+    import pandas as pd
+
+    ensure_shipped(media.sparkSession)
+
+    def _decode(batch_iter):
+        for pdf in batch_iter:
+            rows = []
+            for mid, data in zip(pdf["id"], pdf["payload"]):
+                data = bytes(data) if data is not None else b""
+                kind, dec = _stub_decode(data, feature_dim)
+                if dec is None:
+                    rows.append((mid, kind, None, None, None, None, None, False))
+                else:
+                    w, h, nf, feat, nsfw = dec
+                    rows.append((mid, kind, w, h, nf, feat, nsfw, True))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "width", "height", "n_frames",
+                "feature", "nsfw_score", "ok"])
+
+    src = media.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_decode, schema=MEDIA_SCHEMA)
+
+
+def safe_filter(decoded: DataFrame, threshold: float = 0.5, safe: bool = True) -> DataFrame:
+    """Reference safe-search predicate (image/elasticsearch.go:26-58):
+    safe ⇒ nsfw_score < threshold, unsafe ⇒ ≥ threshold."""
+    cond = F.col("nsfw_score") < threshold if safe else F.col("nsfw_score") >= threshold
+    return decoded.where(F.col("ok") & cond)
+
+
+def one_per_group_top(decoded: DataFrame, group_col: str, order_col: str) -> DataFrame:
+    """Reference one-image-per-domain pattern (terms agg + top_hits 1,
+    image/elasticsearch.go:115-171): row_number over a window."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc("media_id"))
+    return (decoded.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))

@@ -1,0 +1,184 @@
+"""Training-data pipeline operator tests over the driver testdata."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jivesearch_spark.tdp import ann, dedup, multimodal, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    d.cache().count()
+    return d
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    e.cache().count()
+    return e
+
+
+@pytest.mark.spark
+def test_exact_dedup_groups_match_duckdb(spark, docs):
+    got = {(r.text_hash, r.keep_id, r.n_dups)
+           for r in dedup.exact_dedup_groups(docs).collect()}
+    want = {tuple(r) for r in duckdb.sql(f"""
+        SELECT md5(text) AS h, min(doc_id), count(*)
+        FROM '{SF}/documents.parquet' GROUP BY 1""").fetchall()}
+    assert got == want
+
+
+@pytest.mark.spark
+def test_ngram_jaccard_pairs_match_duckdb(spark, docs):
+    got = {(r.id_a, r.id_b, round(r.jaccard, 6))
+           for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2,
+                                              max_shingle_df=10**9).collect()}
+    want = {(a, b, round(j, 6)) for a, b, j in duckdb.sql(f"""
+        WITH toks AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk
+          FROM '{SF}/documents.parquet'),
+        sh AS (
+          SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                 for i in range(1, len(tk)-1)]) AS s
+          FROM toks WHERE len(tk) >= 3),
+        ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1,2)
+        SELECT id_a, id_b,
+               c / (len(sa.s) + len(sb.s) - c) AS j
+        FROM inter JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        WHERE c / (len(sa.s) + len(sb.s) - c) >= 0.2""").fetchall()}
+    assert got == want
+
+
+@pytest.mark.spark
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    exact = {(r.id_a, r.id_b)
+             for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8,
+                                                max_shingle_df=10**9).collect()}
+    est = {(r.id_a, r.id_b)
+           for r in dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                            threshold=0.7).collect()}
+    if exact:
+        recall = len(exact & est) / len(exact)
+        assert recall >= 0.8, (recall, exact - est)
+    # LSH estimates at 0.7 must at least include everything near-exact
+    sigs_ok = dedup.minhash_signatures(docs.limit(5)).collect()
+    assert all(len(r.sig) == 64 for r in sigs_ok)
+
+
+@pytest.mark.spark
+def test_simhash_identical_docs_collide(spark, docs):
+    two = docs.limit(1).unionByName(
+        docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000))
+    pairs = dedup.simhash_near_pairs(two, max_hamming=3).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+@pytest.mark.spark
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q = rows[0].tolist()
+    got = [(r.id, round(r.cosine, 6)) for r in ann.cosine_topk(emb, q, k=10).collect()]
+    qv = np.array(q)
+    sims = sorted(
+        ((vid, float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))))
+         for vid, v in rows.items()),
+        key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = [(i, round(s, 6)) for i, s in sims]
+    assert got == want
+
+
+@pytest.mark.spark
+def test_ann_lsh_finds_planted_near_duplicates(spark, emb):
+    # plant near-duplicates: copies of vectors 1..5 with tiny noise —
+    # the LSH path MUST surface them in the top-k for their originals
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    rng = np.random.default_rng(0)
+    planted = [(100000 + vid,
+                (rows[vid] + rng.normal(0, 1e-3, rows[vid].shape)).astype(np.float32).tolist(),
+                0)
+               for vid in range(1, 6)]
+    emb2 = emb.unionByName(spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label int"))
+    for vid in range(1, 6):
+        q = rows[vid].tolist()
+        got = [r.id for r in ann.ann_topk_lsh(emb2, q, k=3, n_bits=10,
+                                              n_tables=8, probe_hamming=1).collect()]
+        assert vid in got and (100000 + vid) in got, (vid, got)
+
+
+@pytest.mark.spark
+def test_ann_lsh_recall_report(spark, emb):
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    q = rows[3].tolist()
+    exact = {r.id for r in ann.cosine_topk(emb, q, k=10).collect()}
+    approx = {r.id for r in ann.ann_topk_lsh(emb, q, k=10, n_bits=8,
+                                             n_tables=16, probe_hamming=1).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.3  # weakly-similar random vectors: sanity floor
+
+
+@pytest.mark.spark
+def test_token_counts_match_duckdb(spark, docs):
+    got = {(r.id, r.ws_tokens, r.bpe_tokens, r.chars)
+           for r in textstats.token_counts(docs).collect()}
+    want = {tuple(r) for r in duckdb.sql(f"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')),
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')),
+               length(text)
+        FROM '{SF}/documents.parquet'""").fetchall()}
+    assert got == want
+
+
+@pytest.mark.spark
+def test_language_id_plausible(spark, docs):
+    out = textstats.language_id(docs).collect()
+    assert len(out) == docs.count()
+    assert all(r.lang_pred in (set(textstats.STOPWORDS) | {"und"}) for r in out)
+    en_hits = [r for r in out if r.lang_pred == "en"]
+    assert len(en_hits) > 0  # corpus text is English-ish
+
+
+@pytest.mark.spark
+def test_quality_and_fingerprints_deterministic(spark, docs):
+    a = sorted((r.id, r.quality) for r in textstats.quality_scores(docs).collect())
+    b = sorted((r.id, r.quality) for r in textstats.quality_scores(docs).collect())
+    assert a == b
+    fp = textstats.fingerprints(docs).collect()
+    assert all(len(r.fingerprint) == 32 for r in fp)
+
+
+@pytest.mark.spark
+def test_multimodal_stub_plumbing(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"x" * 64),
+        (2, b"\xff\xd8\xff" + b"jpegdata"),
+        (3, b"GIF89a" + b"gif"),
+        (4, b"ID3" + b"mp3"),
+        (5, b"garbage-not-media"),
+        (6, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.decode_media(media).collect()
+    by_id = {r.media_id: r for r in out}
+    assert by_id[1].kind == "image/png" and by_id[1].ok
+    assert by_id[2].kind == "image/jpeg" and len(by_id[2].feature) == 8
+    assert by_id[4].kind == "audio/mp3" and by_id[4].n_frames >= 1
+    assert not by_id[5].ok and not by_id[6].ok
+    # deterministic: same payload → same features
+    out2 = {r.media_id: r for r in multimodal.decode_media(media).collect()}
+    assert out2[1].feature == by_id[1].feature
+    # safe filter + one-per-group
+    dec = multimodal.decode_media(media)
+    safe = multimodal.safe_filter(dec, threshold=1.1, safe=True)
+    assert safe.count() == 4
