@@ -120,9 +120,11 @@ def bm25_topk(docs: DataFrame, query: str, k: int = 10,
     if min_should_match:
         agg = agg.where(F.col("n_matched") >= msm_required(len(q_terms)))
 
+    # pinned tie-break: ordering on score quantized to 1e-9, then docid
+    # (identical across Spark / DuckDB / numpy regardless of sum order)
     return (
         agg.select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.round(F.col("score"), 9).desc(), F.asc("doc_id"))
         .limit(k)
     )
 
@@ -222,6 +224,6 @@ def bm25_fielded_topk(docs: DataFrame, query: str, k: int = 10,
                    .drop("bonus"))
 
     out = (agg.select("doc_id", "score")
-           .orderBy(F.desc("score"), F.asc("doc_id"))
+           .orderBy(F.round(F.col("score"), 9).desc(), F.asc("doc_id"))
            .limit(k))
     return out

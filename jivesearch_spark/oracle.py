@@ -50,7 +50,7 @@ class SingleFieldIndex:
         if min_should_match:
             req = bm25.msm_required(len(q_terms))
             scores = {d: s for d, s in scores.items() if matched[d] >= req}
-        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:k]
 
 
 class FieldedIndex:
@@ -125,4 +125,4 @@ class FieldedIndex:
                     if self.docs[d].get("tld") == tld_boost:
                         scores[d] += w
 
-        return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return sorted(scores.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:k]

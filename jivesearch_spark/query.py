@@ -100,7 +100,7 @@ def bm25_topk_indexed(reader: IndexReader, query: str, k: int = 10,
     per_shard = blocks.groupBy("shard").applyInPandas(
         _score_shard, schema="docid long, score double")
 
-    return per_shard.orderBy(F.desc("score"), F.asc("docid")).limit(k)
+    return per_shard.orderBy(F.round(F.col("score"), 9).desc(), F.asc("docid")).limit(k)
 
 
 def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
@@ -203,6 +203,6 @@ def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
         return np.empty(0, dtype=np.int64), np.empty(0)
 
     kloc = min(k, cand.size)
-    # top-k by (-score, docid): argsort on structured order
-    idx = np.lexsort((cand, -total))[:kloc]
+    # top-k by (-round(score,9), docid) — the pinned tie-break
+    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
     return cand[idx].astype(np.int64), total[idx]

@@ -38,7 +38,12 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     """Exact cosine top-k vs one query vector; (id, cosine)."""
     q = F.transform(F.lit(query_vec), lambda x: x.cast("double"))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    # sequential (left-to-right) accumulation — bit-identical to the
+    # SQL oracle's list_dot_product, unlike np.dot's pairwise sum
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    qn = float(np.sqrt(acc))
     cos = _dot(v, q) / (_norm(v) * F.lit(qn))
     return (
         emb.select(F.col(id_col).alias("id"), cos.alias("cosine"))
