@@ -3,8 +3,9 @@
 Architecture (the 10^12-doc design point, tested at small scale):
 
 - **Dense doc ids** assigned by deterministic global sort of url
-  (range-partition → sort-within → zipWithIndex): ids are
-  partition-count invariant, so every downstream artifact is too.
+  (range-partition staged to parquet → per-partition offsets →
+  row_number): ids are partition-count invariant, so every downstream
+  artifact is too.
 - **Doc-sharded postings**: shard = docid // docs_per_shard, the same
   doc ranges for every term (an ES/Lucene-style document-partitioned
   index — reference runs one ES index per language with hash-sharded
@@ -28,8 +29,9 @@ Architecture (the 10^12-doc design point, tested at small scale):
   committed batch (idempotent: batches write to their own dirs).
 
 Everything relational is DataFrame built-ins (codegen); the only
-Python is the Arrow-batched encode kernel (applyInPandas per
-(term, shard) group, numpy inside).
+Python is the Arrow-batched encode kernel (mapInPandas over
+(term, shard)-clustered sorted partitions, numpy inside — one kernel
+invocation covers thousands of term groups).
 """
 
 from __future__ import annotations
@@ -88,21 +90,48 @@ class Manifest:
         os.replace(tmp, os.path.join(root, MANIFEST))  # atomic commit
 
 
-def assign_doc_ids(docs: DataFrame, key: str = "url") -> DataFrame:
-    """Dense deterministic docids: global sort by key → zipWithIndex.
+def assign_doc_ids(docs: DataFrame, key: str = "url",
+                   staging_dir: str | None = None) -> DataFrame:
+    """Dense deterministic docids: global sort by key → dense 0..N-1.
 
-    Range partitioning keeps the sort distributed (no single-partition
-    window); zipWithIndex adds per-partition offsets with one extra
-    count job. Output ids are invariant to input partitioning.
+    The range partitioning is materialized to staging parquet, then
+    docid = per-partition offset + row_number within partition — all
+    JVM-side. Ids are invariant to the input partitioning because the
+    composition is a total order on a unique key (duplicates dropped
+    first); boundary placement only shifts offsets, never ranks.
     """
+    import tempfile
+
+    from pyspark.sql import Window
+
     spark = docs.sparkSession
     deduped = docs.dropDuplicates([key])
     p = max(2, spark.sparkContext.defaultParallelism)
-    ranged = deduped.repartitionByRange(p, F.col(key)).sortWithinPartitions(key)
-    schema = "docid long, " + ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in ranged.schema.fields)
-    rdd = ranged.rdd.zipWithIndex().map(lambda t: (t[1], *t[0]))
-    return spark.createDataFrame(rdd, schema=schema)
+
+    # Materialize the range partitioning ONCE: repartitionByRange
+    # seeds its sampler with the RDD id, so two jobs over the same
+    # plan can draw different boundaries — enumerating against a
+    # re-executed plan would corrupt the ids. The staged parquet pins
+    # one concrete partitioning (and is the natural resume artifact).
+    staging = staging_dir or tempfile.mkdtemp(prefix="docids_")
+    (deduped.repartitionByRange(p, F.col(key))
+     .withColumn("__pid", F.spark_partition_id())
+     .write.mode("overwrite").parquet(staging))
+    staged = spark.read.parquet(staging)
+
+    counts = {int(r["__pid"]): int(r["cnt"]) for r in
+              staged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets = []
+    acc = 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+
+    w = Window.partitionBy("__pid").orderBy(key)
+    return (staged.join(F.broadcast(off_df), "__pid")
+            .withColumn("docid", F.col("__off") + F.row_number().over(w) - 1)
+            .drop("__pid", "__off"))
 
 
 def _tf_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -147,13 +176,17 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     if not man.stage1_done:
         t0 = time.time()
         if id_col not in docs.columns:
-            docs = assign_doc_ids(docs, key=url_col)
+            docs = assign_doc_ids(docs, key=url_col,
+                                  staging_dir=os.path.join(out_dir, "docid_staging"))
             id_col = "docid"
         docs = docs.persist()
 
         tf = _tf_table(docs, id_col, text_col).withColumn(
             "bucket", F.pmod(F.hash("term"), F.lit(params.n_buckets)))
-        tf.write.mode("overwrite").partitionBy("bucket").parquet(tf_path)
+        # co-locate each bucket before the partitioned write: one file
+        # per bucket per batch instead of (tasks × buckets) shards
+        tf.repartition(params.n_buckets, "bucket") \
+            .write.mode("overwrite").partitionBy("bucket").parquet(tf_path)
 
         tf_staged = spark.read.parquet(tf_path)
         (tf_staged.groupBy("term")
@@ -167,6 +200,12 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         if url_col and url_col in docs.columns:
             docs.select(F.col(id_col).alias("docid"), F.col(url_col).alias("url")) \
                 .write.mode("overwrite").parquet(dict_path)
+            dic = spark.read.parquet(dict_path)
+            n_ids = dic.select("docid").distinct().count()
+            n_rows = dic.count()
+            if n_ids != n_rows:
+                raise RuntimeError(
+                    f"docid collision: {n_rows} rows, {n_ids} distinct ids")
 
         row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
         # n_docs counts docs with ≥1 token; avgdl over the same set —
@@ -185,31 +224,67 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     n_docs, avgdl = man.n_docs, man.avgdl
     k1, b, dps = params.k1, params.b, params.docs_per_shard
 
-    def _encode(pdf):
-        import pandas as pd
-        term = pdf["term"].iloc[0]
-        bucket = int(pdf["bucket"].iloc[0])
-        shard = int(pdf["shard"].iloc[0])
-        df_t = int(pdf["df"].iloc[0])
-        order = np.argsort(pdf["docid"].values, kind="mergesort")
-        docids = pdf["docid"].values[order]
-        tfs = pdf["tf"].values[order]
-        dls = pdf["dl"].values[order]
-        idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
-        rows = [
-            (bucket, term, shard, r["block_id"], r["first_docid"],
-             r["last_docid"], r["n_docs"], r["max_score_ub"],
-             r["deltas"], r["tfs"], r["dls"])
-            for r in codec.encode_blocks(docids, tfs, dls, idf, k1, b, avgdl)
-        ]
-        return pd.DataFrame(rows, columns=[
-            "bucket", "term", "shard", "block_id", "first_docid",
-            "last_docid", "n_docs", "max_score_ub", "deltas", "tfs", "dls"])
-
     POSTINGS_SCHEMA = (
         "bucket int, term string, shard int, block_id int, first_docid long, "
         "last_docid long, n_docs int, max_score_ub double, "
         "deltas binary, tfs binary, dls binary")
+
+    def _encode_groups(pdf):
+        """Encode all complete (term, shard) groups in a sorted frame.
+
+        Input is sorted by (term, shard, docid); avoids the
+        per-group applyInPandas overhead (one Arrow batch holds
+        thousands of tiny term groups).
+        """
+        import pandas as pd
+        terms_a = pdf["term"].values
+        shards_a = pdf["shard"].values
+        new_grp = np.empty(len(pdf), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (terms_a[1:] != terms_a[:-1]) | (shards_a[1:] != shards_a[:-1])
+        starts = np.flatnonzero(new_grp)
+        ends = np.append(starts[1:], len(pdf))
+        docid_a = pdf["docid"].values
+        tf_a = pdf["tf"].values
+        dl_a = pdf["dl"].values
+        df_a = pdf["df"].values
+        bucket_a = pdf["bucket"].values
+        rows = []
+        for s, e in zip(starts, ends):
+            df_t = int(df_a[s])
+            idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
+            for r in codec.encode_blocks(docid_a[s:e], tf_a[s:e], dl_a[s:e],
+                                         idf, k1, b, avgdl):
+                rows.append((int(bucket_a[s]), terms_a[s], int(shards_a[s]),
+                             r["block_id"], r["first_docid"], r["last_docid"],
+                             r["n_docs"], r["max_score_ub"],
+                             r["deltas"], r["tfs"], r["dls"]))
+        return pd.DataFrame(rows, columns=[
+            "bucket", "term", "shard", "block_id", "first_docid",
+            "last_docid", "n_docs", "max_score_ub", "deltas", "tfs", "dls"])
+
+    def _encode_stream(batch_iter):
+        """mapInPandas with (term, shard)-group carry across Arrow
+        batches: rows of one group are contiguous within the sorted
+        partition but may straddle batch boundaries."""
+        import pandas as pd
+        carry = None
+        for pdf in batch_iter:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_t = pdf["term"].iloc[-1]
+            last_s = pdf["shard"].iloc[-1]
+            tail_mask = (pdf["term"].values == last_t) & (pdf["shard"].values == last_s)
+            # the trailing group may continue in the next batch → carry it
+            split = len(pdf) - int(tail_mask[::-1].argmin() if not tail_mask.all()
+                                   else len(pdf))
+            head, carry = pdf.iloc[:split], pdf.iloc[split:]
+            if len(head):
+                yield _encode_groups(head)
+        if carry is not None and len(carry):
+            yield _encode_groups(carry)
 
     tf_staged = spark.read.parquet(tf_path)
     stats = spark.read.parquet(stats_path)
@@ -217,6 +292,8 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     all_buckets = list(range(params.n_buckets))
     batches = [all_buckets[i:i + params.bucket_batch]
                for i in range(0, len(all_buckets), params.bucket_batch)]
+
+    n_enc_parts = max(2, spark.sparkContext.defaultParallelism)
 
     for batch in batches:
         key = f"buckets_{batch[0]}_{batch[-1]}"
@@ -228,9 +305,10 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             tf_staged.where(F.col("bucket").isin(batch))
             .join(stats.where(F.col("bucket").isin(batch)).select("term", "df"), "term")
             .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int"))
+            .repartition(n_enc_parts, "term", "shard")
+            .sortWithinPartitions("term", "shard", "docid")
         )
-        out = part.groupBy("bucket", "term", "shard").applyInPandas(
-            _encode, schema=POSTINGS_SCHEMA)
+        out = part.mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
         for bk in batch:  # idempotent: wipe any partial output of a crashed run
             d = os.path.join(post_path, f"bucket={bk}")
             if os.path.exists(d):
