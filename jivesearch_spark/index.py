@@ -102,10 +102,7 @@ def assign_doc_ids(docs: DataFrame, key: str = "url",
     """
     import tempfile
 
-    from pyspark.sql import Window
-
     spark = docs.sparkSession
-    deduped = docs.dropDuplicates([key])
     p = max(2, spark.sparkContext.defaultParallelism)
 
     # Materialize the range partitioning ONCE: repartitionByRange
@@ -113,14 +110,29 @@ def assign_doc_ids(docs: DataFrame, key: str = "url",
     # plan can draw different boundaries — enumerating against a
     # re-executed plan would corrupt the ids. The staged parquet pins
     # one concrete partitioning (and is the natural resume artifact).
+    # Duplicates are NOT pre-shuffled away: equal keys land in the same
+    # range partition, so dedup happens inside the enumeration window —
+    # one wide shuffle of the data instead of two.
     staging = staging_dir or tempfile.mkdtemp(prefix="docids_")
-    (deduped.repartitionByRange(p, F.col(key))
+    (docs.repartitionByRange(p, F.col(key))
      .withColumn("__pid", F.spark_partition_id())
      .write.mode("overwrite").parquet(staging))
-    staged = spark.read.parquet(staging)
+    return enumerate_staged_docids(spark, staging, key)
 
+
+def enumerate_staged_docids(spark, staging: str, key: str = "url") -> DataFrame:
+    """Assign docid = partition offset + rank over a previously staged
+    range-partitioned parquet, dropping duplicate keys (first in key
+    order wins). Deterministic and re-runnable — this is how a resumed
+    build reconstructs its docids."""
+    from pyspark.sql import Window
+
+    staged = spark.read.parquet(staging)
+    # per-partition DISTINCT counts (duplicates are co-located by the
+    # range partitioning) — column-pruned scan of the key only
     counts = {int(r["__pid"]): int(r["cnt"]) for r in
-              staged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+              staged.groupBy("__pid")
+              .agg(F.countDistinct(key).alias("cnt")).collect()}
     offsets = []
     acc = 0
     for pid in sorted(counts):
@@ -129,14 +141,26 @@ def assign_doc_ids(docs: DataFrame, key: str = "url",
     off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
 
     w = Window.partitionBy("__pid").orderBy(key)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dup = (F.lag(key).over(w) == F.col(key)).cast("int")
+    dup = F.coalesce(dup, F.lit(0))
     return (staged.join(F.broadcast(off_df), "__pid")
-            .withColumn("docid", F.col("__off") + F.row_number().over(w) - 1)
-            .drop("__pid", "__off"))
+            .withColumn("__dup", dup)
+            .withColumn("__cum", F.sum("__dup").over(wc))
+            .withColumn("docid",
+                        F.col("__off") + F.row_number().over(w) - 1 - F.col("__cum"))
+            .where(F.col("__dup") == 0)
+            .drop("__pid", "__off", "__dup", "__cum"))
 
 
-def _tf_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = docs.select(F.col(id_col).alias("docid"),
-                       analyze.tokens(F.col(text_col)).alias("toks"))
+def _tf_table(docs: DataFrame, id_col: str, text_col: str,
+              toks_col: str | None = None) -> DataFrame:
+    if toks_col:
+        toks = docs.select(F.col(id_col).alias("docid"),
+                           F.col(toks_col).alias("toks"))
+    else:
+        toks = docs.select(F.col(id_col).alias("docid"),
+                           analyze.tokens(F.col(text_col)).alias("toks"))
     return (
         toks.select("docid", F.size("toks").alias("dl"),
                     F.explode("toks").alias("term"))
@@ -148,7 +172,7 @@ def _tf_table(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None,
                 id_col: str = "docid", text_col: str = "text",
                 url_col: str | None = "url", resume: bool = False,
-                log=print) -> Manifest:
+                check_invariants: bool = True, log=print) -> Manifest:
     """Build a complete index at ``out_dir``.
 
     ``docs`` must already carry dense docids (assign_doc_ids) unless
@@ -168,55 +192,73 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
 
     tf_path = os.path.join(out_dir, "tf_staging")
     stats_path = os.path.join(out_dir, "term_stats")
-    dict_path = os.path.join(out_dir, "dictionary")
-    dlen_path = os.path.join(out_dir, "doc_lengths")
+    meta_path = os.path.join(out_dir, "doc_meta")
     post_path = os.path.join(out_dir, "postings")
 
-    # ---- stage 1: materialize tf + stats (the resume checkpoint) ----
+    # ---- stage 1: materialize doc_meta + tf + stats (the resume
+    # checkpoint). Kept to 3-4 Spark jobs: corpus stats ride on the
+    # doc_meta write via .observe() instead of separate agg jobs.
     if not man.stage1_done:
         t0 = time.time()
         if id_col not in docs.columns:
             docs = assign_doc_ids(docs, key=url_col,
                                   staging_dir=os.path.join(out_dir, "docid_staging"))
             id_col = "docid"
+        # NOTE: tokens are recomputed per pass on purpose — caching the
+        # token arrays (tokenize-once) was measured SLOWER than letting
+        # whole-stage codegen re-run the regex (object/GC overhead of
+        # persisted array<string> outweighs the recompute).
         docs = docs.persist()
+
+        # doc_meta = dictionary (docid ↔ url) + doc_lengths in one table
+        from pyspark.sql import Observation
+        obs = Observation("corpus_stats")
+        meta_cols = [F.col(id_col).alias("docid"),
+                     F.size(analyze.tokens(F.col(text_col))).alias("dl")]
+        if url_col and url_col in docs.columns:
+            meta_cols.append(F.col(url_col).alias("url"))
+        meta = docs.select(*meta_cols).observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"))
+        meta.write.mode("overwrite").parquet(meta_path)
+        n_all = int(obs.get["n"])
+        man.n_docs = n_all
+        man.avgdl = (float(obs.get["sum_dl"] or 0) / n_all) if n_all else 0.0
+        man.n_shards = max(1, -(-n_all // params.docs_per_shard))
+
+        if check_invariants:
+            dic = spark.read.parquet(meta_path)
+            n_ids = dic.select("docid").distinct().count()
+            if n_ids != n_all:
+                raise RuntimeError(
+                    f"docid collision: {n_all} rows, {n_ids} distinct ids")
 
         tf = _tf_table(docs, id_col, text_col).withColumn(
             "bucket", F.pmod(F.hash("term"), F.lit(params.n_buckets)))
-        # co-locate each bucket before the partitioned write: one file
-        # per bucket per batch instead of (tasks × buckets) shards
-        tf.repartition(params.n_buckets, "bucket") \
-            .write.mode("overwrite").partitionBy("bucket").parquet(tf_path)
 
-        tf_staged = spark.read.parquet(tf_path)
-        (tf_staged.groupBy("term")
-         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
-              F.first("bucket").alias("bucket"))
-         .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
+        single_batch = params.bucket_batch >= params.n_buckets
+        if single_batch:
+            # fast path: the whole stage-2 runs as ONE batch, so the tf
+            # table never needs to be materialized — term_stats is the
+            # only checkpoint (saves a full write+read of the largest
+            # intermediate; crucial when disk IO, not CPU, is the
+            # scaling bottleneck). Resume granularity = stage boundary.
+            (tf.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
+                  F.first("bucket").alias("bucket"))
+             .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
+        else:
+            # co-locate each bucket before the partitioned write: one
+            # file per bucket per batch instead of (tasks × buckets)
+            tf.repartition(params.n_buckets, "bucket") \
+                .write.mode("overwrite").partitionBy("bucket").parquet(tf_path)
+            tf_staged = spark.read.parquet(tf_path)
+            (tf_staged.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
+                  F.first("bucket").alias("bucket"))
+             .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
 
-        dl = tf_staged.select("docid", "dl").dropDuplicates(["docid"])
-        dl.write.mode("overwrite").parquet(dlen_path)
-
-        if url_col and url_col in docs.columns:
-            docs.select(F.col(id_col).alias("docid"), F.col(url_col).alias("url")) \
-                .write.mode("overwrite").parquet(dict_path)
-            dic = spark.read.parquet(dict_path)
-            n_ids = dic.select("docid").distinct().count()
-            n_rows = dic.count()
-            if n_ids != n_rows:
-                raise RuntimeError(
-                    f"docid collision: {n_rows} rows, {n_ids} distinct ids")
-
-        row = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
-        # n_docs counts docs with ≥1 token; avgdl over the same set —
-        # pinned (matches oracle built over tokenized docs)
-        n_all = docs.count()
-        man.n_docs = n_all
-        man.avgdl = float(row["avgdl"] or 0.0) * (row["n"] / n_all) if n_all else 0.0
-        man.n_shards = max(1, -(-n_all // params.docs_per_shard))
         man.stage1_done = True
         man.save(out_dir)
-        docs.unpersist()
         log(f"[index] stage1 done in {time.time()-t0:.1f}s: "
             f"n_docs={man.n_docs} avgdl={man.avgdl:.3f} shards={man.n_shards}")
 
@@ -286,8 +328,21 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         if carry is not None and len(carry):
             yield _encode_groups(carry)
 
-    tf_staged = spark.read.parquet(tf_path)
     stats = spark.read.parquet(stats_path)
+    if os.path.exists(tf_path):
+        tf_source = spark.read.parquet(tf_path)
+    else:
+        # fast path (no staged tf): derive tf live from the docs — from
+        # the in-session persisted frame, or reconstructed
+        # deterministically from the docid staging on resume.
+        if id_col not in docs.columns:
+            staging = os.path.join(out_dir, "docid_staging")
+            if not os.path.exists(staging):
+                raise ValueError("cannot resume: no tf staging or docid staging")
+            docs = enumerate_staged_docids(spark, staging, key=url_col or "url")
+            id_col = "docid"
+        tf_source = _tf_table(docs, id_col, text_col).withColumn(
+            "bucket", F.pmod(F.hash("term"), F.lit(params.n_buckets)))
 
     all_buckets = list(range(params.n_buckets))
     batches = [all_buckets[i:i + params.bucket_batch]
@@ -302,37 +357,44 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             continue
         t0 = time.time()
         part = (
-            tf_staged.where(F.col("bucket").isin(batch))
+            tf_source.where(F.col("bucket").isin(batch))
             .join(stats.where(F.col("bucket").isin(batch)).select("term", "df"), "term")
             .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int"))
             .repartition(n_enc_parts, "term", "shard")
             .sortWithinPartitions("term", "shard", "docid")
         )
-        out = part.mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
+        from pyspark.sql import Observation
+        obs = Observation(f"batch_{key}")
+        out = (part.mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
+               .observe(obs,
+                        F.count(F.lit(1)).alias("blocks"),
+                        F.approx_count_distinct("term").alias("terms"),
+                        F.sum("n_docs").alias("postings"),
+                        F.sum(F.length("deltas") + F.length("tfs")
+                              + F.length("dls")).alias("bytes")))
         for bk in batch:  # idempotent: wipe any partial output of a crashed run
             d = os.path.join(post_path, f"bucket={bk}")
             if os.path.exists(d):
                 shutil.rmtree(d)
         out.write.mode("append").partitionBy("bucket").parquet(post_path)
 
-        written = spark.read.parquet(post_path).where(F.col("bucket").isin(batch))
-        m = written.agg(
-            F.count(F.lit(1)).alias("blocks"),
-            F.countDistinct("term").alias("terms"),
-            F.sum("n_docs").alias("postings"),
-            F.sum(F.length("deltas") + F.length("tfs") + F.length("dls")).alias("bytes"),
-        ).collect()[0]
+        m = obs.get  # metrics harvested from the write job itself
         man.completed_batches[key] = {
-            "buckets": batch, "blocks": int(m["blocks"]), "terms": int(m["terms"]),
+            "buckets": batch, "blocks": int(m["blocks"]),
+            "terms": int(m["terms"]),
             "postings": int(m["postings"] or 0), "bytes": int(m["bytes"] or 0),
             "seconds": round(time.time() - t0, 2),
         }
         man.save(out_dir)
-        log(f"[index] {key}: {m['terms']} terms, {m['postings']} postings, "
+        log(f"[index] {key}: ~{m['terms']} terms, {m['postings']} postings, "
             f"{m['bytes']} B in {time.time()-t0:.1f}s")
 
     man.done = True
     man.save(out_dir)
+    try:
+        docs.unpersist()
+    except Exception:
+        pass
     return man
 
 
@@ -386,12 +448,12 @@ def merge_indexes(spark, seg_dirs: list[str], out_dir: str,
      .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
           F.first("bucket").alias("bucket"))
      .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
-    # merge dictionaries + doc_lengths
-    for sub in ("dictionary", "doc_lengths"):
-        srcs = [os.path.join(d, sub) for d in seg_dirs if os.path.exists(os.path.join(d, sub))]
-        if srcs:
-            dfx = spark.read.parquet(*srcs)
-            dfx.write.mode("overwrite").parquet(os.path.join(out_dir, sub))
+    # merge doc_meta (dictionary + doc_lengths)
+    srcs = [os.path.join(d, "doc_meta") for d in seg_dirs
+            if os.path.exists(os.path.join(d, "doc_meta"))]
+    if srcs:
+        spark.read.parquet(*srcs).write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, "doc_meta"))
     man.save(out_dir)
     # re-run stage 2 through build machinery
     dummy = spark.createDataFrame([(0, "")], "docid long, text string").limit(0)

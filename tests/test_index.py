@@ -170,3 +170,13 @@ def test_python_murmur3_matches_spark_hash(spark):
     for r in rows:
         assert murmur3_32(r.t.encode("utf-8")) == r.h, r.t
         assert term_bucket(r.t, 8) == r.b, r.t
+
+
+@pytest.mark.spark
+def test_fast_path_single_batch_matches_staged(spark, docs, built, tmp_path):
+    # single-batch fast path (no tf staging) must produce identical bytes
+    fast = IndexParams(docs_per_shard=100, n_buckets=8, bucket_batch=8)
+    root = str(tmp_path / "fast")
+    build_index(docs, root, fast, url_col=None, log=lambda *a: None)
+    assert not os.path.exists(os.path.join(root, "tf_staging"))
+    assert _postings_bytes(spark, root) == _postings_bytes(spark, built)
