@@ -270,6 +270,27 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir)).select("id", "fingerprint")
 
 
+def q_instant_answers(spark, sf_dir):
+    """Instant-answer registry (SURVEY.md §2.10; frontend/answer.go
+    dispatch) replayed over a deterministic query log derived from the
+    corpus' top-20 terms — answers computed in the Spark batch path
+    (mapInPandas), verified against DuckDB md5/reverse/length."""
+    from jivesearch_spark.instant import answer_queries
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", analyze.tokens(F.col("text")).alias("toks"))
+    tf = (toks.select("doc_id", F.explode("toks").alias("term"))
+          .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf")))
+    top = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .orderBy(F.desc("df"), F.asc("term")).limit(20)
+           .select("term"))
+    qs = top.select(F.explode(F.array(
+        F.concat(F.lit("md5 "), F.col("term")),
+        F.concat(F.lit("reverse "), F.col("term")),
+        F.concat(F.lit("char count "), F.col("term")),
+    )).alias("query"))
+    return answer_queries(qs).select("query", "answer_type", "solution")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from jivesearch_spark.tdp import ann
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
@@ -366,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "instant_answers": q_instant_answers,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -560,6 +582,21 @@ FROM best WHERE rn = 1""",
         "fingerprints": f"""
 WITH toks AS ({SQL_TOKS})
 SELECT doc_id AS id, md5(array_to_string(tk, ' ')) AS fingerprint FROM toks""",
+        "instant_answers": f"""
+WITH toks AS ({SQL_TOKS}),
+tfl AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tfg AS (SELECT term, doc_id FROM tfl GROUP BY 1, 2),
+top AS (SELECT term, count(*) AS df FROM tfg GROUP BY 1
+        ORDER BY df DESC, term LIMIT 20)
+SELECT 'md5 ' || term AS query, 'hash' AS answer_type,
+       '{{"algo": "MD5", "original": "' || term || '", "solution": "'
+         || md5(term) || '"}}' AS solution
+FROM top
+UNION ALL
+SELECT 'reverse ' || term, 'reverse', '"' || reverse(term) || '"' FROM top
+UNION ALL
+SELECT 'char count ' || term, 'characters',
+       '"' || CAST(length(term) AS VARCHAR) || '"' FROM top""",
         "ann_cosine_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
