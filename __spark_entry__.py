@@ -291,6 +291,35 @@ def q_instant_answers(spark, sf_dir):
     return answer_queries(qs).select("query", "answer_type", "solution")
 
 
+def q_suggest_store(spark, sf_dir):
+    """Suggestion-store batch upsert (A6 — suggest/elasticsearch.go
+    insert+increment re-expressed as one groupBy): query log derived
+    deterministically from each doc's first 3 tokens."""
+    from jivesearch_spark.suggest import record_queries
+    qs = _docs(spark, sf_dir).select(
+        F.concat_ws(" ", F.slice(analyze.tokens(F.col("text")), 1, 3))
+        .alias("query"))
+    return record_queries(qs)
+
+
+def q_bang_dispatch(spark, sf_dir):
+    """!bang dispatch (J6 — bangs/bangs.go:92-121) replayed over a
+    deterministic query log: '!g <term>' / '!w <term>' / plain."""
+    from jivesearch_spark.bangs import bang_queries
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", analyze.tokens(F.col("text")).alias("toks"))
+    tf = (toks.select("doc_id", F.explode("toks").alias("term"))
+          .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf")))
+    top = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+           .orderBy(F.desc("df"), F.asc("term")).limit(10).select("term"))
+    qs = top.select(F.explode(F.array(
+        F.concat(F.lit("!g "), F.col("term")),
+        F.concat(F.lit("!w "), F.col("term")),
+        F.concat(F.col("term"), F.lit(" plain")),
+    )).alias("query"))
+    return bang_queries(qs).select("query", "bang_name", "location", "triggered")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from jivesearch_spark.tdp import ann
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
@@ -388,12 +417,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "instant_answers": q_instant_answers,
+        "suggest_store": q_suggest_store,
+        "bang_dispatch": q_bang_dispatch,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_decode": q_media_decode,
         "extract_pages": q_extract_pages,
     }
+
+
+def _suggest_store_sql() -> str:
+    from jivesearch_spark.suggest import NAUGHTY
+    not_naughty = " AND ".join(
+        f"query NOT LIKE '%{t}%'" for t in sorted(NAUGHTY))
+    return f"""
+WITH toks AS ({SQL_TOKS}),
+qs AS (SELECT substring(array_to_string(tk[1:3], ' '), 1, 50) AS query
+       FROM toks)
+SELECT query, count(*) AS weight FROM qs
+WHERE query <> '' AND {not_naughty}
+GROUP BY 1"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -582,6 +626,23 @@ FROM best WHERE rn = 1""",
         "fingerprints": f"""
 WITH toks AS ({SQL_TOKS})
 SELECT doc_id AS id, md5(array_to_string(tk, ' ')) AS fingerprint FROM toks""",
+        "suggest_store": _suggest_store_sql(),
+        "bang_dispatch": f"""
+WITH toks AS ({SQL_TOKS}),
+tfl AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tfg AS (SELECT term, doc_id FROM tfl GROUP BY 1, 2),
+top AS (SELECT term, count(*) AS df FROM tfg GROUP BY 1
+        ORDER BY df DESC, term LIMIT 10)
+SELECT '!g ' || term AS query, 'Google' AS bang_name,
+       'https://encrypted.google.com/search?hl=en&q=' || term AS location,
+       true AS triggered
+FROM top
+UNION ALL
+SELECT '!w ' || term, 'Wikipedia',
+       'https://en.wikipedia.org/wiki/' || upper(term[1]) || term[2:], true
+FROM top
+UNION ALL
+SELECT term || ' plain', NULL, NULL, false FROM top""",
         "instant_answers": f"""
 WITH toks AS ({SQL_TOKS}),
 tfl AS (SELECT doc_id, unnest(tk) AS term FROM toks),

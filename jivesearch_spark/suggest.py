@@ -1,0 +1,101 @@
+"""Autocomplete suggestions over a query log (reference: ``suggest/``).
+
+The reference keeps a ``queries`` completion index: every search
+inserts its query at weight 0 if new (unless NSFW) and increments its
+weight (``frontend/search.go:152-170``, ``suggest/elasticsearch.go:
+53-90``); autocomplete serves the top-10 completions for a prefix
+(``suggest/elasticsearch.go:20-50``, size cap ``frontend/frontend.go:
+237,260``).
+
+Spark re-expression: the suggestion store is a ``(query, weight)``
+table; ``record_queries`` is the batch upsert (one groupBy + one
+outer-merge join — the analog of N script-upserts), ``completions``
+is a prefix scan + top-k.  At serving scale the table is small enough
+to broadcast or export to a trie; at build scale the groupBy is the
+only shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: NSFW term blocklist (P8 — suggest/suggest.go:55-66 checks substring
+#: membership against suggest/naughty.txt, 2,575 entries; a
+#: representative built-in subset here, extendable via load_naughty).
+NAUGHTY = frozenset({
+    "porn", "pornhub", "xxx", "xvideo", "hentai", "nsfw", "nude", "nudes",
+    "naked", "sex", "sexy", "erotic", "escort", "fetish", "milf", "dildo",
+    "blowjob", "handjob", "cumshot", "creampie", "gangbang", "bukkake",
+    "deepthroat", "threesome", "bdsm", "bondage", "camgirl", "stripper",
+    "playboy", "penthouse", "redtube", "youporn", "xhamster", "brazzers",
+})
+
+
+def load_naughty(path: str) -> frozenset[str]:
+    """suggest/suggest.go:32-53 — one term per line, '#' comments,
+    lowercased."""
+    out = set()
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            w = line.strip()
+            if not w or w.startswith("#"):
+                continue
+            out.add(w.lower())
+    return frozenset(out)
+
+
+def is_naughty(q: str, naughty: frozenset[str] = NAUGHTY) -> bool:
+    """Substring containment against the blocklist
+    (suggest/suggest.go:57-66)."""
+    ql = q.lower()
+    return any(term in ql for term in naughty)
+
+
+def normalize(col):
+    """Suggest keys are the normalized query string (simple analyzer,
+    max_input_length 50 — suggest/elasticsearch.go:96-110)."""
+    return F.substring(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), 1, 50)
+
+
+def record_queries(log_df: DataFrame, existing: DataFrame | None = None,
+                   query_col: str = "query",
+                   naughty: frozenset[str] = NAUGHTY) -> DataFrame:
+    """Batch upsert of a query log into the (query, weight) store.
+
+    Semantics pinned to addQuery (frontend/search.go:152-170):
+    - queries NOT yet in the store are inserted only if clean
+      (NSFW-new queries are dropped entirely);
+    - queries already present are incremented regardless (the
+      reference only naughty-checks on insert).
+    """
+    naughty_arr = F.array(*[F.lit(t) for t in sorted(naughty)])
+    log = (log_df.select(normalize(F.col(query_col)).alias("query"))
+           .where(F.col("query") != "")
+           .groupBy("query").agg(F.count(F.lit(1)).alias("hits"))
+           .withColumn("clean", ~F.exists(
+               naughty_arr, lambda t: F.col("query").contains(t))))
+    if existing is None:
+        return (log.where(F.col("clean"))
+                .select("query", F.col("hits").cast("long").alias("weight")))
+    ex = existing.select("query", "weight")
+    merged = ex.join(log, "query", "full_outer").select(
+        "query",
+        F.coalesce("weight", F.lit(0)).alias("weight"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+        F.coalesce("clean", F.lit(True)).alias("clean"),
+        ex["weight"].isNotNull().alias("known"),
+    )
+    return (merged.where(F.col("known") | F.col("clean"))
+            .select("query", (F.col("weight") + F.col("hits"))
+                    .cast("long").alias("weight")))
+
+
+def completions(store: DataFrame, prefix: str, size: int = 10) -> DataFrame:
+    """Top-``size`` completions for a prefix, heaviest first
+    (suggest/elasticsearch.go:20-50; size 10 per frontend/frontend.go:
+    237,260). Tie-break on query text for determinism."""
+    p = " ".join(prefix.strip().lower().split())
+    return (store.where(F.col("query").startswith(p))
+            .orderBy(F.desc("weight"), F.asc("query"))
+            .limit(size))

@@ -1,0 +1,98 @@
+"""Suggest store + !bang dispatch tests.
+
+Bang goldens ported from the reference's TestDetect table
+(bangs/bangs_test.go:105-247); suggest semantics pinned to addQuery
+(frontend/search.go:152-170).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from jivesearch_spark.bangs import Bangs, wikipedia_canonical
+from jivesearch_spark.suggest import is_naughty
+
+BANG_GOLDENS = [
+    # (query, region, lang, expected_name, expected_location, ok)
+    ("!g bob", "US", "fr", "Google",
+     "https://encrypted.google.com/search?hl=fr&q=bob", True),
+    ("!g at&t", "US", "en", "Google",
+     "https://encrypted.google.com/search?hl=en&q=at%26t", True),
+    ("!g bob french", "fr", "en", "Google",
+     "https://www.google.fr/search?hl=en&q=bob+french", True),
+    ("!gfr something french", "fr", "en", "Google France",
+     "https://www.google.fr/search?hl=en&q=something+french", True),
+    ("!W bob maRLey", "US", "fr", "Wikipedia",
+     "https://en.wikipedia.org/wiki/Bob_Marley", True),
+    ("nonexistent! some query", "US", "fr", None, "", False),
+    ("this is not a bang", "US", "en", None, "", False),
+    ("this is not a bang g", "US", "en", None, "", False),
+    ("this is not a bang google", "US", "en", None, "", False),
+]
+
+
+@pytest.mark.parametrize("q,region,lang,name,loc,ok", BANG_GOLDENS,
+                         ids=[g[0] for g in BANG_GOLDENS])
+def test_bang_detect_goldens(q, region, lang, name, loc, ok):
+    b, got_loc, got_ok = Bangs().detect(q, region=region, lang=lang)
+    assert got_ok == ok
+    assert (b.name if b else None) == name
+    assert got_loc == loc
+
+
+def test_bang_suffix_and_mid_token():
+    b, loc, ok = Bangs().detect("bob dylan w!", region="US", lang="en")
+    assert ok and b.name == "Wikipedia" and loc.endswith("Bob_Dylan")
+    # region fallback: unknown region → default URL
+    b, loc, ok = Bangs().detect("!yt metallica", region="XZ", lang="en")
+    assert ok and "youtube.com" in loc and "metallica" in loc
+
+
+def test_wikipedia_canonical():
+    assert wikipedia_canonical("bob maRLey") == "Bob_Marley"
+
+
+def test_bang_suggest_prefix():
+    out = Bangs().suggest("!g", size=10)
+    trigs = [s["trigger"] for s in out]
+    assert trigs == sorted(trigs)
+    assert "g" in trigs and "gh" in trigs and "gfr" in trigs
+
+
+def test_naughty():
+    assert is_naughty("free porn videos")
+    assert is_naughty("PORNHUB")         # case-insensitive, substring
+    assert not is_naughty("bob dylan albums")
+
+
+@pytest.mark.spark
+def test_record_and_complete(spark):
+    from jivesearch_spark.suggest import completions, record_queries
+    log1 = spark.createDataFrame(
+        [("Bob  Dylan",), ("bob dylan",), ("bob marley",), ("free porn",),
+         ("bach",)], "query string")
+    store = record_queries(log1)
+    rows = {r["query"]: r["weight"] for r in store.collect()}
+    # normalization collapses case/whitespace; naughty-new dropped
+    assert rows == {"bob dylan": 2, "bob marley": 1, "bach": 1}
+
+    # existing queries increment even if naughty (reference only checks
+    # naughty on insert) — seed a pre-existing naughty entry
+    seeded = spark.createDataFrame([("free porn", 5)], "query string, weight long")
+    store2 = record_queries(log1, existing=store.unionByName(seeded))
+    rows2 = {r["query"]: r["weight"] for r in store2.collect()}
+    assert rows2["bob dylan"] == 4 and rows2["free porn"] == 6
+
+    top = completions(store2, "bob", size=10).collect()
+    assert [r["query"] for r in top] == ["bob dylan", "bob marley"]
+
+
+@pytest.mark.spark
+def test_bang_queries_batch(spark):
+    from jivesearch_spark.bangs import bang_queries
+    df = spark.createDataFrame(
+        [("!g bob",), ("plain search",), ("!w bob marley",)], "query string")
+    out = {r["query"]: r for r in bang_queries(df).collect()}
+    assert out["!g bob"]["triggered"] and out["!g bob"]["bang_name"] == "Google"
+    assert not out["plain search"]["triggered"]
+    assert out["!w bob marley"]["location"].endswith("Bob_Marley")
