@@ -320,6 +320,30 @@ def q_bang_dispatch(spark, sf_dir):
     return bang_queries(qs).select("query", "bang_name", "location", "triggered")
 
 
+def _wiki_tables(spark, sf_dir):
+    from jivesearch_spark import wiki
+    return wiki.synth_wiki_tables(_docs(spark, sf_dir))
+
+
+def q_wiki_item_join(spark, sf_dir):
+    """J3 — 4-way wiki item join (postgresql.go:189-218)."""
+    from jivesearch_spark import wiki
+    return wiki.item_join(_wiki_tables(spark, sf_dir))
+
+
+def q_wiki_claims_join(spark, sf_dir):
+    """J4 — claims explode + dimension join (postgresql.go:172-185)."""
+    from jivesearch_spark import wiki
+    return wiki.claims_join(_wiki_tables(spark, sf_dir))
+
+
+def q_wiki_disambiguation(spark, sf_dir):
+    """J5 — disambiguation fan-out, top-10 by popularity per page
+    (postgresql.go:237-291)."""
+    from jivesearch_spark import wiki
+    return wiki.disambiguation(_wiki_tables(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from jivesearch_spark.tdp import ann
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
@@ -419,6 +443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "instant_answers": q_instant_answers,
         "suggest_store": q_suggest_store,
         "bang_dispatch": q_bang_dispatch,
+        "wiki_item_join": q_wiki_item_join,
+        "wiki_claims_join": q_wiki_claims_join,
+        "wiki_disambiguation": q_wiki_disambiguation,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -438,6 +465,50 @@ qs AS (SELECT substring(array_to_string(tk[1:3], ' '), 1, 50) AS query
 SELECT query, count(*) AS weight FROM qs
 WHERE query <> '' AND {not_naughty}
 GROUP BY 1"""
+
+
+def _wiki_sql(body: str) -> str:
+    from jivesearch_spark.wiki import synth_wiki_sql
+    return f"WITH {synth_wiki_sql(SQL_TOKS)['wbase']} {body}"
+
+
+WIKI_ITEM_SQL = """
+SELECT coalesce(w.id, '') AS id, coalesce(w.title, '') AS title,
+       coalesce(len(w.outgoing_link), 0) AS n_links,
+       coalesce(len(q.quotes), 0) AS n_quotes,
+       coalesce(d.label, '') AS label,
+       coalesce(wk.title, '') AS wktitle,
+       coalesce(wk.definition, '') AS definition,
+       coalesce(w.popularity_score, 0.0) AS popularity_score
+FROM wikipedia w
+LEFT JOIN wikiquote q ON w.id = q.id
+LEFT JOIN wikidata d ON w.id = d.id
+FULL OUTER JOIN wiktionary wk ON lower(w.title) = lower(wk.title)"""
+
+WIKI_CLAIMS_SQL = """
+SELECT e.id, e.claim_id, coalesce(d2.label, '') AS claim_label
+FROM (SELECT id, unnest(claims) AS claim_id FROM wikidata) e
+LEFT JOIN (SELECT id AS claim_id, label FROM wikidata) d2 USING (claim_id)"""
+
+WIKI_DISAMBIG_SQL = """
+, dis AS (
+  SELECT w.id AS src_id, lower(replace(w.title, ' ', '_')) AS lc,
+         w.outgoing_link
+  FROM wikipedia w JOIN wikidata d ON w.id = d.id
+  WHERE d.description = 'Wikipedia disambiguation page'),
+lnk AS (
+  SELECT src_id, lower(replace(link, '_', ' ')) AS target
+  FROM (SELECT src_id, lc, unnest(outgoing_link) AS link FROM dis)
+  WHERE starts_with(lower(link), lc || '_')),
+hits AS (
+  SELECT l.src_id, w.id AS target_id, w.title AS target_title,
+         w.popularity_score
+  FROM lnk l JOIN wikipedia w ON lower(w.title) = l.target)
+SELECT * FROM (
+  SELECT src_id, target_id, target_title, popularity_score,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY popularity_score DESC, target_id) AS rk
+  FROM hits) WHERE rk <= 10"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -627,6 +698,9 @@ FROM best WHERE rn = 1""",
 WITH toks AS ({SQL_TOKS})
 SELECT doc_id AS id, md5(array_to_string(tk, ' ')) AS fingerprint FROM toks""",
         "suggest_store": _suggest_store_sql(),
+        "wiki_item_join": _wiki_sql(WIKI_ITEM_SQL),
+        "wiki_claims_join": _wiki_sql(WIKI_CLAIMS_SQL),
+        "wiki_disambiguation": _wiki_sql(WIKI_DISAMBIG_SQL),
         "bang_dispatch": f"""
 WITH toks AS ({SQL_TOKS}),
 tfl AS (SELECT doc_id, unnest(tk) AS term FROM toks),
