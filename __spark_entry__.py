@@ -344,6 +344,21 @@ def q_wiki_disambiguation(spark, sf_dir):
     return wiki.disambiguation(_wiki_tables(spark, sf_dir))
 
 
+def q_display_functions(spark, sf_dir):
+    """§2.8 display/scalar functions (frontend/filters.go funcMap) as
+    whole-stage-codegen column expressions, DuckDB-verified."""
+    from jivesearch_spark import functions as jf
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        jf.truncate(F.col("text"), 60, preserve=True).alias("t60"),
+        jf.truncate(F.col("text"), 30, preserve=False).alias("h30"),
+        jf.commafy("n_chars").alias("commafied"),
+        jf.wikimedia_image_url("source").alias("img_url"),
+        jf.wikipedia_canonical("source").alias("canon"),
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from jivesearch_spark.tdp import ann
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
@@ -443,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "instant_answers": q_instant_answers,
         "suggest_store": q_suggest_store,
         "bang_dispatch": q_bang_dispatch,
+        "display_functions": q_display_functions,
         "wiki_item_join": q_wiki_item_join,
         "wiki_claims_join": q_wiki_claims_join,
         "wiki_disambiguation": q_wiki_disambiguation,
@@ -698,6 +714,26 @@ FROM best WHERE rn = 1""",
 WITH toks AS ({SQL_TOKS})
 SELECT doc_id AS id, md5(array_to_string(tk, ' ')) AS fingerprint FROM toks""",
         "suggest_store": _suggest_store_sql(),
+        "display_functions": """
+WITH f AS (
+  SELECT doc_id, text, n_chars, source,
+         list_filter(regexp_split_to_array(substring(text, 1, 61), '\\s+'),
+                     t -> t <> '') AS ws,
+         md5(replace(source, ' ', '_')) AS m
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN length(text) <= 60 THEN text
+            ELSE array_to_string(list_slice(ws, 1, greatest(len(ws) - 1, 0)), ' ')
+                 || ' ...' END AS t60,
+       CASE WHEN length(text) <= 30 THEN text
+            ELSE substring(text, 1, 30) || '...' END AS h30,
+       format('{:,}', n_chars) AS commafied,
+       'https://upload.wikimedia.org/wikipedia/commons/' || m[1] || '/'
+         || m[1:2] || '/' || replace(source, ' ', '_') AS img_url,
+       replace(list_aggregate(list_transform(
+           regexp_split_to_array(lower(source), ' '),
+           w -> upper(w[1]) || w[2:]), 'string_agg', ' '), ' ', '_') AS canon
+FROM f""",
         "wiki_item_join": _wiki_sql(WIKI_ITEM_SQL),
         "wiki_claims_join": _wiki_sql(WIKI_CLAIMS_SQL),
         "wiki_disambiguation": _wiki_sql(WIKI_DISAMBIG_SQL),
