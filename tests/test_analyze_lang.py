@@ -1,0 +1,147 @@
+"""Per-language analyzer chains (lang-v1 profile).
+
+Mirrors the reference's one-ES-index-per-language-analyzer design
+(document/elasticsearch.go:205-289): lang tag resolution walks parent
+tags, each analyzer = tokenize → stopword filter → stem, and the
+Python oracle path must match the Spark Arrow-UDF path token-for-token
+(rank identity depends on doc and query analysis sharing one spec).
+"""
+
+import pytest
+
+from jivesearch_spark import analyze_lang as al
+
+
+# ---------------------------------------------------------------------------
+# lang → analyzer resolution (elasticsearch.go:28-41)
+# ---------------------------------------------------------------------------
+
+def test_analyzer_resolution_exact():
+    assert al.analyzer_for("en") == "english"
+    assert al.analyzer_for("pt-BR") == "brazilian"
+    assert al.analyzer_for("ja") == "cjk"
+    assert al.analyzer_for("de") == "german"
+
+
+def test_analyzer_resolution_parent_walk():
+    # unknown subtag falls back to the parent tag's analyzer
+    assert al.analyzer_for("en-AU") == "english"
+    assert al.analyzer_for("fr-BE") == "french"
+    assert al.analyzer_for("zh-Hant-TW") == "cjk"
+    # underscore normalisation
+    assert al.analyzer_for("pt_BR") == "brazilian"
+
+
+def test_analyzer_resolution_fallback():
+    assert al.analyzer_for("") == "english"
+    assert al.analyzer_for("xx-YY") == "english"
+    assert al.analyzer_for(None) == "english"
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (classic 1980 algorithm) — published test vectors
+# ---------------------------------------------------------------------------
+
+PORTER_VECTORS = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("caress", "caress"), ("cats", "cat"),
+    ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+    ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+    ("conflated", "conflat"), ("troubled", "troubl"), ("sized", "size"),
+    ("hopping", "hop"), ("tanned", "tan"), ("falling", "fall"),
+    ("hissing", "hiss"), ("fizzed", "fizz"), ("failing", "fail"),
+    ("filing", "file"),
+    ("happy", "happi"), ("sky", "sky"),
+    ("relational", "relat"), ("conditional", "condit"),
+    ("rational", "ration"), ("valenci", "valenc"), ("hesitanci", "hesit"),
+    ("digitizer", "digit"), ("conformabli", "conform"),
+    ("radicalli", "radic"), ("differentli", "differ"), ("vileli", "vile"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"),
+    ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"),
+    ("formaliti", "formal"), ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"),
+    ("triplicate", "triplic"), ("formative", "form"), ("formalize", "formal"),
+    ("electriciti", "electr"), ("electrical", "electr"), ("hopeful", "hope"),
+    ("goodness", "good"),
+    ("revival", "reviv"), ("allowance", "allow"), ("inference", "infer"),
+    ("airliner", "airlin"), ("gyroscopic", "gyroscop"),
+    ("adjustable", "adjust"), ("defensible", "defens"),
+    ("irritant", "irrit"), ("replacement", "replac"),
+    ("adjustment", "adjust"), ("dependent", "depend"),
+    ("adoption", "adopt"), ("homologou", "homolog"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("angulariti", "angular"), ("homologous", "homolog"),
+    ("effective", "effect"), ("bowdlerize", "bowdler"),
+    ("probate", "probat"), ("rate", "rate"), ("cease", "ceas"),
+    ("controll", "control"), ("roll", "roll"),
+]
+
+
+@pytest.mark.parametrize("word,stem", PORTER_VECTORS)
+def test_porter_vectors(word, stem):
+    assert al.porter_stem(word) == stem
+
+
+# ---------------------------------------------------------------------------
+# pipeline: tokenize → stop → stem
+# ---------------------------------------------------------------------------
+
+def test_english_pipeline():
+    assert al.py_tokens_lang("The running foxes are jumping") == \
+        ["run", "fox", "jump"]
+    # stopwords removed pre-stem
+    assert al.py_tokens_lang("it is a test of the system") == \
+        ["test", "system"]
+
+
+def test_unknown_analyzer_is_identity():
+    assert al.py_tokens_lang("Der Hund LÄUFT schnell", "armenian") == \
+        ["der", "hund", "l", "uft", "schnell"]
+
+
+def test_cjk_bigrams():
+    assert al.py_tokens_lang("東京タワー", "cjk") == \
+        ["東京", "京タ", "タワ", "ワー"]
+    # single-char run kept; latin mixed through standard tokenizer
+    assert al.py_tokens_lang("木 word", "cjk") == ["木", "word"]
+
+
+def test_french_light_stem():
+    toks = al.py_tokens_lang("les installations nouvelles", "french")
+    assert "les" not in toks           # stopword
+    assert toks == ["installation", "nouvell"]
+
+
+# ---------------------------------------------------------------------------
+# Spark UDF identity with the Python oracle
+# ---------------------------------------------------------------------------
+
+SAMPLES = [
+    ("The quick brown foxes were running", "en"),
+    ("Les chats noirs dormaient", "fr"),
+    ("Der schnelle braune Fuchs", "de"),
+    ("Los gatos negros corriendo", "es"),
+    ("東京は日本の首都です", "ja"),
+    ("", "en"),
+    ("mixed 語 text", "zh-Hans"),
+]
+
+
+@pytest.mark.spark
+def test_spark_udf_matches_python(spark):
+    df = spark.createDataFrame(SAMPLES, "text string, lang string")
+    for an in ("english", "french", "cjk"):
+        rows = df.select("text", al.tokens_lang("text", an).alias("t")).collect()
+        for r in rows:
+            assert list(r.t) == al.py_tokens_lang(r.text, an), (an, r.text)
+
+
+@pytest.mark.spark
+def test_analyzed_docs_routes_by_lang(spark):
+    df = spark.createDataFrame(SAMPLES, "text string, lang string")
+    rows = al.analyzed_docs(df).collect()
+    for r in rows:
+        want = al.py_tokens_lang(r.text, al.analyzer_for(r.lang))
+        assert list(r.toks) == want, (r.lang, r.text)
