@@ -68,19 +68,14 @@ def q_bm25_msm(spark, sf_dir):
 _INDEX_CACHE: dict[str, str] = {}
 
 
-def q_bm25_indexed(spark, sf_dir):
-    """The compressed-index + block-max-WAND path, checked against the
-    SAME SQL oracle as the brute-force path — codec + kernel + stats
-    all have to agree with DuckDB."""
-    from jivesearch_spark.index import IndexParams, build_index
-    from jivesearch_spark.query import IndexReader, bm25_topk_indexed
+def _ensure_index(spark, sf_dir) -> str:
+    from jivesearch_spark.index import IndexParams, Manifest, build_index
 
     root = _INDEX_CACHE.get(sf_dir)
     if root is None:
         import hashlib
         h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         root = f"/tmp/jivesearch_index_{h}"
-        from jivesearch_spark.index import Manifest
         if Manifest.load(root) is None or not Manifest.load(root).done:
             docs = _docs(spark, sf_dir).selectExpr("doc_id AS docid", "text")
             build_index(docs, root,
@@ -88,10 +83,31 @@ def q_bm25_indexed(spark, sf_dir):
                                     bucket_batch=8),
                         url_col=None, log=lambda *a: None)
         _INDEX_CACHE[sf_dir] = root
-    reader = IndexReader(spark, root)
+    return root
+
+
+def q_bm25_indexed(spark, sf_dir):
+    """The compressed-index + block-max-WAND path, checked against the
+    SAME SQL oracle as the brute-force path — codec + kernel + stats
+    all have to agree with DuckDB."""
+    from jivesearch_spark.query import IndexReader, bm25_topk_indexed
+
+    reader = IndexReader(spark, _ensure_index(spark, sf_dir))
     out = bm25_topk_indexed(reader, QUERY_MAIN, k=10, use_wand=True)
     return out.select(F.col("docid").alias("doc_id"),
                       F.round("score", 4).alias("score"))
+
+
+def q_bm25_served(spark, sf_dir):
+    """Serving-tier path (driver-side pruned pyarrow reads + the same
+    numpy WAND kernel, no Spark job) against the same SQL oracle —
+    proves serve ≡ cluster ≡ DuckDB."""
+    from jivesearch_spark.serve import LocalIndex
+
+    rows = LocalIndex(_ensure_index(spark, sf_dir)).topk(
+        QUERY_MAIN, k=10, use_wand=True)
+    return spark.createDataFrame(
+        [(d, round(s, 4)) for d, s in rows], "doc_id long, score double")
 
 
 def q_term_stats(spark, sf_dir):
@@ -431,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_msm": q_bm25_msm,
         "bm25_indexed": q_bm25_indexed,
+        "bm25_served": q_bm25_served,
         "term_stats": q_term_stats,
         "doc_lengths": q_doc_lengths,
         "boolean_and": q_boolean_and,
@@ -557,6 +574,7 @@ ORDER BY round(raw, 9) DESC, doc_id LIMIT 10"""
         "bm25_topk": bm25_sql(terms_main),
         "bm25_msm": bm25_sql(terms_msm, msm_req),
         "bm25_indexed": bm25_sql(terms_main),
+        "bm25_served": bm25_sql(terms_main),
         "term_stats": f"""
 WITH toks AS ({SQL_TOKS}),
 tfl AS (SELECT doc_id, unnest(tk) AS term FROM toks),

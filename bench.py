@@ -175,6 +175,24 @@ def main():
     results["query_p50"] = round(pctl(all_lat, 50), 3)
     results["query_p95"] = round(pctl(all_lat, 95), 3)
 
+    # ---- serving-tier replay (driver-side pruned reads, no Spark job;
+    # the reference's ES-lookup analog). Rank identity with the Spark
+    # path is a pytest gate (tests/test_serve.py).
+    from jivesearch_spark.serve import LocalIndex
+    local = LocalIndex(f"{WORK}/idx_high")
+    local.topk("warm up", 10)  # untimed: open datasets, prime caches
+    serve_lat = []
+    for name, q in BENCH_QUERIES:
+        lats = []
+        for _ in range(REPS):
+            t0 = time.time()
+            local.topk(q, 10, use_wand=True)
+            lats.append(time.time() - t0)
+        serve_lat += lats
+        results[name + "_serve_p95"] = round(pctl(lats, 95), 4)
+    results["serve_p50"] = round(pctl(serve_lat, 50), 4)
+    results["serve_p95"] = round(pctl(serve_lat, 95), 4)
+
     # ---- driver-table queries at SF_DIR ----
     import __spark_entry__ as e
     qs = e.queries()

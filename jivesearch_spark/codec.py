@@ -123,3 +123,31 @@ def decode_block(deltas: bytes, tfs: bytes, dls: bytes, n_docs: int):
     docids = np.cumsum(d)
     return docids, varint_decode(tfs, n_docs).astype(np.int64), \
         varint_decode(dls, n_docs).astype(np.int64)
+
+
+def decode_blocks_concat(deltas_bufs, tfs_bufs, dls_bufs, n_docs):
+    """Decode MANY blocks in one vectorized pass.
+
+    Varints are self-delimiting, so the concatenation of per-block
+    byte streams decodes as one stream; the per-block delta→docid
+    cumsum is recovered as a segmented cumsum (global cumsum minus a
+    per-block base). One numpy call per posting list instead of one
+    per 128-posting block — the serving/scoring hot path.
+    """
+    n_docs = np.asarray(n_docs, dtype=np.int64)
+    total = int(n_docs.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    d = varint_decode(b"".join(deltas_bufs), total).astype(np.int64)
+    csum = np.cumsum(d)
+    starts = np.empty(n_docs.size, dtype=np.int64)
+    starts[0] = 0
+    np.cumsum(n_docs[:-1], out=starts[1:])
+    base = np.zeros(n_docs.size, dtype=np.int64)
+    nz = starts > 0
+    base[nz] = csum[starts[nz] - 1]
+    docids = csum - np.repeat(base, n_docs)
+    tfs = varint_decode(b"".join(tfs_bufs), total).astype(np.int64)
+    dls = varint_decode(b"".join(dls_bufs), total).astype(np.int64)
+    return docids, tfs, dls

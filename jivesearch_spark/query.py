@@ -110,17 +110,13 @@ def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
     terms = {}
     pdf = pdf.sort_values(["term", "block_id"], kind="mergesort")
     for term, g in pdf.groupby("term", sort=True):
-        docids, tfs, dls = [], [], []
         ubs = g["max_score_ub"].values
         firsts = g["first_docid"].values
-        for r in g.itertuples(index=False):
-            d, t, l = codec.decode_block(r.deltas, r.tfs, r.dls, r.n_docs)
-            docids.append(d)
-            tfs.append(t)
-            dls.append(l)
-        d = np.concatenate(docids)
-        t = np.concatenate(tfs).astype(np.float64)
-        l = np.concatenate(dls).astype(np.float64)
+        d, t, l = codec.decode_blocks_concat(
+            g["deltas"].tolist(), g["tfs"].tolist(), g["dls"].tolist(),
+            g["n_docs"].values)
+        t = t.astype(np.float64)
+        l = l.astype(np.float64)
         w = idf[term]
         scores = w * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / max(avgdl, 1e-9)))
         # per-posting block index for block-max UB lookup

@@ -1,0 +1,153 @@
+"""Low-latency BM25 serving over the compressed index — no Spark job.
+
+The reference serves queries from Elasticsearch at millisecond latency
+(`/root/reference/search/elasticsearch.go:21-67`); the 3 s handler /
+5 s server budgets (`frontend/frontend.go:92`,
+`frontend/cmd/frontend.go:81-84`) assume index *lookup*, not cluster
+scheduling. Spark builds the index; serving a top-k query is a pruned
+read of a few posting lists. This module is that read path:
+
+1. ``term_stats`` lookup via a pyarrow dataset filter
+   (``bucket IN buckets(Q) AND term IN Q``): hive partition pruning
+   on ``bucket`` + parquet row-group min/max pruning on ``term`` —
+   IO per query is O(|Q| posting lists) regardless of corpus size.
+2. same pruned read over ``postings``; decode + score with the SAME
+   numpy kernel the Spark path uses (`query._score_shard_np`) —
+   one code path ⇒ rank identity between serve and cluster modes is
+   structural, and the pinned tie-break (round(score,9) desc, docid
+   asc) is replicated exactly.
+
+At 10^12 docs this is how a serving tier in front of the index works:
+each frontend holds the manifest + term→df cache; every query reads
+only its own terms' blocks (bucket directory + row-group pruning means
+the files behave like a sharded KV store keyed by term). The Spark
+path (`query.bm25_topk_indexed`) remains the batch/analytics flavor.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import analyze, bm25
+from .hashing import term_bucket
+from .index import Manifest
+from .query import _score_shard_np
+
+_POSTING_COLS = ["term", "shard", "block_id", "first_docid", "last_docid",
+                 "n_docs", "max_score_ub", "deltas", "tfs", "dls"]
+
+
+class LocalIndex:
+    """Driver/serving-process handle on an on-disk index."""
+
+    def __init__(self, root: str):
+        import pyarrow.dataset as ds
+        self.root = root
+        self.man = Manifest.load(root)
+        if self.man is None or not self.man.done:
+            raise ValueError(f"no complete index at {root}")
+        self.n_buckets = self.man.params["n_buckets"]
+        self.k1 = self.man.params["k1"]
+        self.b = self.man.params["b"]
+        part = ds.partitioning(flavor="hive")
+        self._postings = ds.dataset(f"{root}/postings", partitioning=part)
+        self._stats = ds.dataset(f"{root}/term_stats", partitioning=part)
+        self._df_cache: dict[str, int] = {}
+
+    # -- lookups ----------------------------------------------------------
+    def buckets_of(self, terms: list[str]) -> list[int]:
+        return sorted({term_bucket(t, self.n_buckets) for t in terms})
+
+    def stats_for(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            import pyarrow.dataset as ds
+            flt = (ds.field("bucket").isin(self.buckets_of(missing))
+                   & ds.field("term").isin(missing))
+            tbl = self._stats.to_table(filter=flt, columns=["term", "df"])
+            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            for t in missing:
+                self._df_cache[t] = int(found.get(t, 0))
+        return {t: self._df_cache[t] for t in terms if self._df_cache[t] > 0}
+
+    def _blocks_for(self, terms: list[str]):
+        import pyarrow.dataset as ds
+        flt = (ds.field("bucket").isin(self.buckets_of(terms))
+               & ds.field("term").isin(terms))
+        return self._postings.to_table(
+            filter=flt, columns=_POSTING_COLS).to_pandas()
+
+    # -- query ------------------------------------------------------------
+    def topk(self, query: str, k: int = 10, use_wand: bool = True,
+             min_should_match: bool = False) -> list[tuple[int, float]]:
+        """Top-k (docid, score); rank-identical to the Spark path."""
+        q_terms = sorted(set(analyze.py_tokens(query)))
+        if not q_terms:
+            return []
+        dfs = self.stats_for(q_terms)
+        present = [t for t in q_terms if t in dfs]
+        if not present:
+            return []
+        n_docs, avgdl = self.man.n_docs, self.man.avgdl
+        idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+               for t in present}
+        req = bm25.msm_required(len(q_terms)) if min_should_match else 0
+
+        pdf = self._blocks_for(present)
+        if not len(pdf):
+            return []
+        docs_all, scores_all = [], []
+        # shard groups mirror the Spark path's applyInPandas groups
+        for _, g in pdf.groupby("shard", sort=True):
+            d, s = _score_shard_np(g, idf, self.k1, self.b, avgdl,
+                                   k, req, use_wand)
+            docs_all.append(d)
+            scores_all.append(s)
+        docids = np.concatenate(docs_all)
+        scores = np.concatenate(scores_all)
+        if docids.size == 0:
+            return []
+        # pinned global tie-break: round(score,9) desc, docid asc
+        idx = np.lexsort((docids, -np.round(scores, 9)))[:k]
+        return [(int(docids[i]), float(scores[i])) for i in idx]
+
+    def topk_batch(self, queries: list[str], k: int = 10,
+                   use_wand: bool = True,
+                   min_should_match: bool = False):
+        """Serve many queries with ONE pruned postings read (shared
+        scan for the union of terms), then per-query kernels — the
+        shape of a batched serving tier."""
+        analyzed = {q: sorted(set(analyze.py_tokens(q))) for q in queries}
+        all_terms = sorted({t for ts in analyzed.values() for t in ts})
+        if not all_terms:
+            return {q: [] for q in queries}
+        dfs = self.stats_for(all_terms)
+        live = [t for t in all_terms if t in dfs]
+        pdf = self._blocks_for(live) if live else None
+        n_docs, avgdl = self.man.n_docs, self.man.avgdl
+
+        out = {}
+        for q in queries:
+            q_terms = analyzed[q]
+            present = [t for t in q_terms if t in dfs]
+            if not present or pdf is None or not len(pdf):
+                out[q] = []
+                continue
+            idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5)
+                                   / (dfs[t] + 0.5))) for t in present}
+            req = bm25.msm_required(len(q_terms)) if min_should_match else 0
+            sub = pdf[pdf["term"].isin(present)]
+            docs_all, scores_all = [], []
+            for _, g in sub.groupby("shard", sort=True):
+                d, s = _score_shard_np(g, idf, self.k1, self.b, avgdl,
+                                       k, req, use_wand)
+                docs_all.append(d)
+                scores_all.append(s)
+            if not docs_all:
+                out[q] = []
+                continue
+            docids = np.concatenate(docs_all)
+            scores = np.concatenate(scores_all)
+            idx = np.lexsort((docids, -np.round(scores, 9)))[:k]
+            out[q] = [(int(docids[i]), float(scores[i])) for i in idx]
+        return out

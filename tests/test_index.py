@@ -51,6 +51,23 @@ def test_codec_roundtrip_property():
         assert np.array_equal(codec.varint_decode(codec.varint_encode(v), n), v)
 
 
+def test_codec_concat_decode_property():
+    """Batch decode over concatenated block streams ≡ per-block decode."""
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        n = int(rng.integers(1, 5000))
+        docids = np.sort(rng.choice(10**9, size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 50, n).astype(np.int64)
+        dls = rng.integers(1, 500, n).astype(np.int64)
+        rows = list(codec.encode_blocks(docids, tfs, dls, 1.0))
+        d, t, l = codec.decode_blocks_concat(
+            [r["deltas"] for r in rows], [r["tfs"] for r in rows],
+            [r["dls"] for r in rows], [r["n_docs"] for r in rows])
+        assert np.array_equal(d, docids)
+        assert np.array_equal(t, tfs)
+        assert np.array_equal(l, dls)
+
+
 @pytest.mark.spark
 def test_indexed_matches_oracle_and_bruteforce(spark, docs, built):
     rows = {r.docid: r.text for r in docs.collect()}

@@ -1,0 +1,97 @@
+"""Serving path ≡ Spark path (rank identity, SURVEY.md §5 gate).
+
+`serve.LocalIndex` must return EXACTLY what `query.bm25_topk_indexed`
+returns — same docids, same scores, same order — for every fixture
+query, with WAND on and off and with minimum-should-match, plus match
+the pure-Python oracle. Latency sanity: a served query must be far
+under the reference's 3 s handler budget.
+"""
+
+import time
+
+import pytest
+
+from jivesearch_spark import oracle
+from jivesearch_spark.index import IndexParams, build_index
+from jivesearch_spark.query import IndexReader, bm25_topk_indexed
+from jivesearch_spark.serve import LocalIndex
+
+SF_DIR = "/root/testdata/sf0.001"
+PARAMS = IndexParams(docs_per_shard=100, n_buckets=8, bucket_batch=4)
+
+QUERIES = [
+    "the fast key order", "spark group query", "customer data window",
+    "merge part", "slow", "zzz-not-a-term", "table scan merge sort filter",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+          .selectExpr("doc_id AS docid", "text"))
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def built(spark, docs, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("serve_index") / "main")
+    man = build_index(docs, root, PARAMS, url_col=None, log=lambda *a: None)
+    assert man.done
+    return root
+
+
+@pytest.mark.spark
+def test_serve_matches_spark_path(spark, built):
+    reader = IndexReader(spark, built)
+    idx = LocalIndex(built)
+    for q in QUERIES:
+        for wand in (True, False):
+            spark_rows = [(r.docid, round(r.score, 9)) for r in
+                          bm25_topk_indexed(reader, q, 10, use_wand=wand).collect()]
+            served = [(d, round(s, 9)) for d, s in
+                      idx.topk(q, 10, use_wand=wand)]
+            assert served == spark_rows, (q, wand)
+
+
+@pytest.mark.spark
+def test_serve_msm_matches_spark_path(spark, built):
+    reader = IndexReader(spark, built)
+    idx = LocalIndex(built)
+    for q in ["table scan merge sort filter", "spark group query zzzq"]:
+        spark_rows = [(r.docid, round(r.score, 9)) for r in
+                      bm25_topk_indexed(reader, q, 10,
+                                        min_should_match=True).collect()]
+        served = [(d, round(s, 9)) for d, s in
+                  idx.topk(q, 10, min_should_match=True)]
+        assert served == spark_rows, q
+
+
+def test_serve_matches_python_oracle(spark, docs, built):
+    rows = {r.docid: r.text for r in docs.collect()}
+    ora = oracle.SingleFieldIndex(rows)
+    idx = LocalIndex(built)
+    for q in QUERIES:
+        want = [(d, round(s, 4)) for d, s in ora.topk(q, 10)]
+        got = [(d, round(s, 4)) for d, s in idx.topk(q, 10)]
+        assert got == want, q
+
+
+def test_batch_matches_single(built):
+    idx = LocalIndex(built)
+    live = [q for q in QUERIES if q]
+    batch = idx.topk_batch(live, 10)
+    for q in live:
+        assert batch[q] == idx.topk(q, 10), q
+
+
+def test_serve_latency_budget(built):
+    idx = LocalIndex(built)
+    idx.topk("warm up the caches", 10)  # untimed warm-up
+    t0 = time.time()
+    for q in QUERIES:
+        idx.topk(q, 10)
+    per_query = (time.time() - t0) / len(QUERIES)
+    # reference handler budget is 3 s; serving must be orders under it
+    assert per_query < 0.5, per_query
