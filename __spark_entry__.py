@@ -187,6 +187,31 @@ def q_events_hourly(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
 
+def q_domain_quota(spark, sf_dir):
+    """P4 domain-quota admission (crawler.go:241-244) over documents,
+    `source` standing in for domain: at most 40 docs per source,
+    oldest doc_id first."""
+    from jivesearch_spark import crawlops
+    out = crawlops.domain_quota_filter(_docs(spark, sf_dir),
+                                       domain_col="source", quota=40,
+                                       order_col="doc_id")
+    return out.select("doc_id", "source")
+
+
+_STATUS_MAP = [200, 301, 302, 404, 403, 500, 503, 200, 204, 429]
+
+
+def q_status_histogram(spark, sf_dir):
+    """A4 status-class rollup (crawler/stats.go:36-60). Status derived
+    deterministically from event_id (same arithmetic in the oracle)."""
+    from jivesearch_spark import crawlops
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in _STATUS_MAP]),
+        (F.col("event_id") % 10 + 1).cast("int"))
+    return crawlops.status_histogram(ev.withColumn("status", status))
+
+
 def q_agg_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return (li.where(F.col("l_shipdate") <= "1998-09-02")
@@ -458,6 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_counts": q_source_counts,
         "char_frequency": q_char_frequency,
         "events_hourly": q_events_hourly,
+        "domain_quota": q_domain_quota,
+        "status_histogram": q_status_histogram,
         "agg_pricing_summary": q_agg_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "left_join_order_counts": q_left_join_order_counts,
@@ -619,6 +646,17 @@ FROM documents""",
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        round(sum(value), 4) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "domain_quota": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn <= 40""",
+        "status_histogram": """
+WITH s AS (
+  SELECT ([200,301,302,404,403,500,503,200,204,429])[CAST(event_id % 10 AS INT) + 1] AS status
+  FROM events)
+SELECT (status // 100)::VARCHAR || 'xx' AS status_class, count(*) AS n
+FROM s GROUP BY 1 ORDER BY 1""",
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
