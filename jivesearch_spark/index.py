@@ -198,12 +198,20 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     # ---- stage 1: materialize doc_meta + tf + stats (the resume
     # checkpoint). Kept to 3-4 Spark jobs: corpus stats ride on the
     # doc_meta write via .observe() instead of separate agg jobs.
+    tf_live = None  # in-session persisted tf (single-batch fast path)
     if not man.stage1_done:
         t0 = time.time()
         if id_col not in docs.columns:
-            docs = assign_doc_ids(docs, key=url_col,
+            # persist the upstream (extraction is expensive) for the
+            # duration of the staging write: repartitionByRange runs a
+            # boundary-sampling job over the full input BEFORE the
+            # shuffle write — without the cache that executes the
+            # extractor twice.
+            raw = docs.persist()
+            docs = assign_doc_ids(raw, key=url_col,
                                   staging_dir=os.path.join(out_dir, "docid_staging"))
             id_col = "docid"
+            raw.unpersist()  # enumerate reads the staged parquet now
         # NOTE: tokens are recomputed per pass on purpose — caching the
         # token arrays (tokenize-once) was measured SLOWER than letting
         # whole-stage codegen re-run the regex (object/GC overhead of
@@ -238,10 +246,17 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         single_batch = params.bucket_batch >= params.n_buckets
         if single_batch:
             # fast path: the whole stage-2 runs as ONE batch, so the tf
-            # table never needs to be materialized — term_stats is the
-            # only checkpoint (saves a full write+read of the largest
-            # intermediate; crucial when disk IO, not CPU, is the
-            # scaling bottleneck). Resume granularity = stage boundary.
+            # table never needs to be materialized to parquet —
+            # term_stats is the only checkpoint (saves a full
+            # write+read of the largest intermediate; crucial when disk
+            # IO, not CPU, is the scaling bottleneck). tf is persisted
+            # (memory, spill-to-disk) so the explode+groupBy shuffle
+            # runs ONCE for stats + encode instead of twice; resume
+            # granularity = stage boundary (on resume tf is rebuilt
+            # from the docid staging).
+            from pyspark import StorageLevel
+            tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+            tf_live = tf
             (tf.groupBy("term")
              .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
                   F.first("bucket").alias("bucket"))
@@ -329,7 +344,9 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             yield _encode_groups(carry)
 
     stats = spark.read.parquet(stats_path)
-    if os.path.exists(tf_path):
+    if tf_live is not None:
+        tf_source = tf_live
+    elif os.path.exists(tf_path):
         tf_source = spark.read.parquet(tf_path)
     else:
         # fast path (no staged tf): derive tf live from the docs — from
@@ -391,10 +408,11 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
 
     man.done = True
     man.save(out_dir)
-    try:
-        docs.unpersist()
-    except Exception:
-        pass
+    for frame in (docs, tf_live):
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
     return man
 
 
