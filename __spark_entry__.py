@@ -110,6 +110,21 @@ def q_bm25_served(spark, sf_dir):
         [(d, round(s, 4)) for d, s in rows], "doc_id long, score double")
 
 
+BATCH_QUERIES = [("qa", QUERY_MAIN), ("qb", "table scan merge"),
+                 ("qc", "slow part history")]
+
+
+def q_bm25_batch(spark, sf_dir):
+    """Batched query engine: whole query log in ONE job (union-term
+    pruned scan, shard blocks decoded once, per-qid window top-k)."""
+    from jivesearch_spark.query import IndexReader, bm25_topk_batch
+
+    reader = IndexReader(spark, _ensure_index(spark, sf_dir))
+    out = bm25_topk_batch(reader, BATCH_QUERIES, k=10, use_wand=True)
+    return out.select("qid", F.col("docid").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
+
+
 def q_term_stats(spark, sf_dir):
     toks = _docs(spark, sf_dir).select(
         "doc_id", analyze.tokens(F.col("text")).alias("toks"))
@@ -473,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm": q_bm25_msm,
         "bm25_indexed": q_bm25_indexed,
         "bm25_served": q_bm25_served,
+        "bm25_batch": q_bm25_batch,
         "term_stats": q_term_stats,
         "doc_lengths": q_doc_lengths,
         "boolean_and": q_boolean_and,
@@ -602,6 +618,9 @@ ORDER BY round(raw, 9) DESC, doc_id LIMIT 10"""
         "bm25_msm": bm25_sql(terms_msm, msm_req),
         "bm25_indexed": bm25_sql(terms_main),
         "bm25_served": bm25_sql(terms_main),
+        "bm25_batch": "\nUNION ALL\n".join(
+            f"SELECT '{qid}' AS qid, * FROM ({bm25_sql(sorted(set(analyze.py_tokens(q))))})"
+            for qid, q in BATCH_QUERIES),
         "term_stats": f"""
 WITH toks AS ({SQL_TOKS}),
 tfl AS (SELECT doc_id, unnest(tk) AS term FROM toks),

@@ -27,7 +27,7 @@ The per-query latency path touches only: 1 driver lookup (|Q| rows),
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import analyze, bm25, codec
@@ -103,10 +103,11 @@ def bm25_topk_indexed(reader: IndexReader, query: str, k: int = 10,
     return per_shard.orderBy(F.round(F.col("score"), 9).desc(), F.asc("docid")).limit(k)
 
 
-def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
-                    k: int, msm_req: int, use_wand: bool):
-    """Vectorized per-shard kernel. Returns (docids, scores) of the
-    local top-k (score-neutral under pruning)."""
+def _decode_term_arrays(pdf, idf: dict, k1: float, b: float,
+                        avgdl: float) -> dict:
+    """Decode a shard's blocks into per-term posting arrays with
+    precomputed BM25 contributions (idf is per-term, so the arrays are
+    shared by every query touching the term)."""
     terms = {}
     pdf = pdf.sort_values(["term", "block_id"], kind="mergesort")
     for term, g in pdf.groupby("term", sort=True):
@@ -125,7 +126,18 @@ def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
             "docids": d, "scores": scores, "block_ub": ubs,
             "block_first": firsts, "blk_of": blk_of, "max_ub": float(ubs.max()),
         }
+    return terms
 
+
+def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
+                    k: int, msm_req: int, use_wand: bool):
+    """Vectorized per-shard kernel. Returns (docids, scores) of the
+    local top-k (score-neutral under pruning)."""
+    terms = _decode_term_arrays(pdf, idf, k1, b, avgdl)
+    return _topk_from_terms(terms, k, msm_req, use_wand)
+
+
+def _topk_from_terms(terms: dict, k: int, msm_req: int, use_wand: bool):
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0)
 
@@ -202,3 +214,72 @@ def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
     # top-k by (-round(score,9), docid) — the pinned tie-break
     idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
     return cand[idx].astype(np.int64), total[idx]
+
+
+def bm25_topk_batch(reader: IndexReader, queries: list[tuple[str, str]],
+                    k: int = 10, use_wand: bool = True,
+                    min_should_match: bool = False) -> DataFrame:
+    """Answer MANY queries in ONE Spark job → (qid, docid, score).
+
+    The analytics flavor of the query engine (replay a whole query log
+    against a snapshot): one pruned postings scan for the UNION of all
+    query terms, each shard's blocks decoded ONCE, every query scored
+    against the shared decoded arrays, then a per-qid window rank for
+    the global top-k. At 10^12-doc scale this is the right shape —
+    per-query jobs would re-pay scan+schedule costs N times.
+    """
+    spark = reader.spark
+    out_schema = "qid string, docid long, score double"
+    analyzed = {qid: sorted(set(analyze.py_tokens(q))) for qid, q in queries}
+    all_terms = sorted({t for ts in analyzed.values() for t in ts})
+    empty = spark.createDataFrame([], out_schema)
+    if not all_terms:
+        return empty
+    dfs = reader.stats_for(all_terms)
+    live = sorted(t for t in all_terms if t in dfs)
+    if not live:
+        return empty
+    n_docs, avgdl = reader.man.n_docs, reader.man.avgdl
+    k1, b = reader.man.params["k1"], reader.man.params["b"]
+    idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
+           for t in live}
+    reqs = {qid: (bm25.msm_required(len(ts)) if min_should_match else 0)
+            for qid, ts in analyzed.items()}
+
+    bks = reader.buckets_of(live)
+    blocks = (reader.postings
+              .where(F.col("bucket").isin(bks) & F.col("term").isin(live))
+              .select("term", "shard", "block_id", "first_docid", "last_docid",
+                      "n_docs", "max_score_ub", "deltas", "tfs", "dls"))
+
+    qterms_b = analyzed  # closures (broadcast by task serialization)
+    reqs_b = reqs
+    wand, kk = use_wand, k
+
+    def _score_shard_batch(pdf):
+        import pandas as pd
+        arrays = _decode_term_arrays(pdf, idf, k1, b, avgdl)
+        qids, docs_out, scores_out = [], [], []
+        for qid, ts in qterms_b.items():
+            sub = {t: arrays[t] for t in ts if t in arrays}
+            if not sub:
+                continue
+            d, s = _topk_from_terms(sub, kk, reqs_b[qid], wand)
+            qids.extend([qid] * d.size)
+            docs_out.append(d)
+            scores_out.append(s)
+        if not qids:
+            return pd.DataFrame({"qid": [], "docid": [], "score": []})
+        return pd.DataFrame({
+            "qid": qids,
+            "docid": np.concatenate(docs_out),
+            "score": np.concatenate(scores_out),
+        })
+
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        _score_shard_batch, schema=out_schema)
+
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("score"), 9).desc(), F.asc("docid"))
+    return (per_shard.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
