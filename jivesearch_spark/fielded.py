@@ -1,0 +1,367 @@
+"""Fielded compressed index + query — the SERP scorer served from disk.
+
+The reference SERP query is a `multi_match cross_fields` over
+domain^3 / path^2 / title^1.5 / description, plus additive bigram
+shingle should-clauses on title/description, `minimum_should_match
+-25%`, and a regional-tld should term
+(/root/reference/search/elasticsearch.go:32-58). `bm25.bm25_fielded_topk`
+is the brute-force spec; this module answers the SAME query from
+compressed per-field posting lists, rank-identically (gated in
+tests/test_fielded.py over the whole reference query set).
+
+Layout: one docid space (dense url-rank ids, so docid-asc tie-break ≡
+url-asc) shared by per-field sub-indexes::
+
+    root/doc_meta/                docid ↔ url
+    root/fields/<field>/          a standard index (postings/term_stats/
+                                  manifest) built over that field's tokens
+    root/fielded.json             field list + boosts + lang
+
+Per-field sub-indexes reuse the whole single-field machinery (codec,
+bucketing, resume manifests) — fields are just short documents. The
+reference runs one ES index per language; `lang` partitions map to one
+fielded root per language, built from a lang-filtered base.
+
+Query modes:
+- ``bm25_fielded_indexed`` — one Spark job: pruned per-field scans
+  union'd with a field tag, one kernel per shard decoding each
+  (field, term) once, scoring = Σ boost_f · bm25_f, cross-field MSM
+  (distinct base terms matched in ANY unigram field), tld bonus added
+  after the MSM filter exactly like the reference's should-clause.
+- ``FieldedLocalIndex.topk`` — the serving-tier flavor (pyarrow pruned
+  reads, no Spark job), same kernel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import analyze, bm25
+from .hashing import term_bucket
+from .index import IndexParams, Manifest, assign_doc_ids, build_index
+from .query import _decode_term_arrays
+from .session import ensure_shipped
+
+#: (field, source column, boost, shingle?) — search/elasticsearch.go:35-47
+FIELD_SPECS = [
+    ("domain", "domain", 3.0, False),
+    ("path_parts", "path_parts", 2.0, False),
+    ("title", "title", 1.5, False),
+    ("description", "description", 1.0, False),
+    ("title_shingle", "title", 1.0, True),
+    ("description_shingle", "description", 1.0, True),
+]
+TLD_FIELD = "tld"
+#: tlds the reference does NOT add a regional clause for
+TLD_SKIP = ("us", "tv", "me", "co", "io")
+
+
+def build_fielded_index(docs: DataFrame, root: str,
+                        params: IndexParams | None = None,
+                        lang: str | None = None, log=print) -> dict:
+    """``docs`` = extracted pages already filtered to ``index=true``
+    (and to one language when mirroring the per-language layout)."""
+    params = params or IndexParams()
+    spark = docs.sparkSession
+    ensure_shipped(spark)
+    if lang is not None:
+        docs = docs.where(F.col("lang") == lang)
+
+    docs = assign_doc_ids(docs, key="url",
+                          staging_dir=os.path.join(root, "docid_staging"))
+    docs = docs.persist()
+    (docs.select("docid", "url")
+     .write.mode("overwrite").parquet(os.path.join(root, "doc_meta")))
+
+    fielded = {"lang": lang, "fields": [], "tld_field": TLD_FIELD}
+    for fname, src, boost, shingle in FIELD_SPECS:
+        toks = analyze.tokens(F.col(src))
+        if shingle:
+            toks = analyze.bigrams(toks)
+        sub = docs.withColumn("__toks", toks)
+        build_index(sub, os.path.join(root, "fields", fname), params,
+                    id_col="docid", url_col=None, toks_col="__toks",
+                    check_invariants=False, manage_cache=False, log=log)
+        fielded["fields"].append({"name": fname, "boost": boost,
+                                  "shingle": shingle})
+
+    # tld as a 1-token field (the regional should-clause is exactly a
+    # BM25 term with tf=1, dl=1 — tf_norm(1,1,1)=1 ⇒ bonus = idf)
+    tld_toks = F.filter(F.array(F.col("tld")),
+                        lambda x: x.isNotNull() & (F.length(x) > 0))
+    sub = docs.withColumn("__toks", tld_toks)
+    build_index(sub, os.path.join(root, "fields", TLD_FIELD), params,
+                id_col="docid", url_col=None, toks_col="__toks",
+                check_invariants=False, manage_cache=False, log=log)
+
+    docs.unpersist()
+    with open(os.path.join(root, "fielded.json"), "w") as f:
+        json.dump(fielded, f)
+    return fielded
+
+
+class FieldedReader:
+    """Spark-side handle: per-field postings/stats frames + manifests."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, "fielded.json")) as f:
+            self.meta = json.load(f)
+        self.fields = {f["name"]: f for f in self.meta["fields"]}
+        self.man: dict[str, Manifest] = {}
+        self.postings: dict[str, DataFrame] = {}
+        self.stats: dict[str, DataFrame] = {}
+        for name in list(self.fields) + [TLD_FIELD]:
+            d = os.path.join(root, "fields", name)
+            self.man[name] = Manifest.load(d)
+            self.postings[name] = spark.read.parquet(f"{d}/postings")
+            self.stats[name] = spark.read.parquet(f"{d}/term_stats")
+        self.n_buckets = self.man[TLD_FIELD].params["n_buckets"]
+        self.doc_meta = spark.read.parquet(f"{root}/doc_meta")
+        ensure_shipped(spark)
+
+    def stats_for(self, field: str, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        bks = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        rows = (self.stats[field]
+                .where(F.col("bucket").isin(bks) & F.col("term").isin(terms))
+                .select("term", "df").collect())
+        return {r["term"]: r["df"] for r in rows}
+
+
+def _query_plan(reader, query: str, tld_boost: str | None):
+    """Shared driver-side prep: analyzed terms, per-(field,term) idf,
+    boost, avgdl; returns None when no term matches anything."""
+    q_tokens = analyze.py_tokens(query)
+    q_terms = sorted(set(q_tokens))
+    q_bigrams = sorted(set(analyze.py_bigrams(q_tokens)))
+    if not q_terms:
+        return None
+
+    n_docs = reader.man[TLD_FIELD].n_docs
+    plan = {"q_terms": q_terms, "n_docs": n_docs, "per_field": {},
+            "tld": None}
+    for name, spec in reader.fields.items():
+        terms = q_bigrams if spec["shingle"] else q_terms
+        if not terms:
+            continue
+        dfs = reader.stats_for(name, terms)
+        if not dfs:
+            continue
+        idf = {t: bm25.idf(n_docs, d) for t, d in dfs.items()}
+        plan["per_field"][name] = {
+            "terms": sorted(dfs), "idf": idf, "boost": spec["boost"],
+            "avgdl": reader.man[name].avgdl, "shingle": spec["shingle"],
+        }
+    if tld_boost and tld_boost not in TLD_SKIP:
+        dfs = reader.stats_for(TLD_FIELD, [tld_boost])
+        if tld_boost in dfs:
+            plan["tld"] = {
+                "terms": [tld_boost],
+                "idf": {tld_boost: bm25.idf(n_docs, dfs[tld_boost])},
+                "boost": 1.0, "avgdl": 1.0, "shingle": False,
+            }
+    return plan if plan["per_field"] else None
+
+
+def _score_fielded(pdf, plan, k1, b, k, msm_req):
+    """Kernel for one shard: pdf has (field, term, block…) rows.
+    Returns (docids, scores) of the shard-local top-k."""
+    arrays = {}   # (field, term) -> posting arrays (scores already ×idf)
+    for field, g in pdf.groupby("field", sort=True):
+        spec = plan["per_field"].get(field) or (
+            plan["tld"] if plan["tld"] and field == TLD_FIELD else None)
+        if spec is None:
+            continue
+        decoded = _decode_term_arrays(g, spec["idf"], k1, b, spec["avgdl"])
+        for t, arr in decoded.items():
+            arr["scores"] = arr["scores"] * spec["boost"]
+            arrays[(field, t)] = arr
+
+    score_keys = [kk for kk in arrays if kk[0] != TLD_FIELD]
+    if not score_keys:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    cand = np.unique(np.concatenate([arrays[kk]["docids"]
+                                     for kk in score_keys]))
+    total = np.zeros(cand.size)
+    # matched base terms per candidate, unigram fields only (J2
+    # cross_fields MSM); fixed accumulation order for determinism
+    matched = {}
+    for field, term in sorted(score_keys):
+        arr = arrays[(field, term)]
+        pos = np.searchsorted(arr["docids"], cand)
+        pos_c = np.minimum(pos, arr["docids"].size - 1)
+        hit = arr["docids"][pos_c] == cand
+        total += np.where(hit, arr["scores"][pos_c], 0.0)
+        if not plan["per_field"][field]["shingle"]:
+            m = matched.get(term)
+            matched[term] = hit if m is None else (m | hit)
+    if msm_req:
+        n_matched = np.zeros(cand.size, dtype=np.int32)
+        for hit in matched.values():
+            n_matched += hit.astype(np.int32)
+        keep = n_matched >= msm_req
+        cand, total = cand[keep], total[keep]
+    # tld bonus joins AFTER the MSM filter (reference adds the regional
+    # clause as a non-qualifying should)
+    tld_key = next((kk for kk in arrays if kk[0] == TLD_FIELD), None)
+    if tld_key is not None and cand.size:
+        arr = arrays[tld_key]
+        pos = np.searchsorted(arr["docids"], cand)
+        pos_c = np.minimum(pos, arr["docids"].size - 1)
+        hit = arr["docids"][pos_c] == cand
+        total += np.where(hit, arr["scores"][pos_c], 0.0)
+    if cand.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    kloc = min(k, cand.size)
+    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
+    return cand[idx].astype(np.int64), total[idx]
+
+
+def bm25_fielded_indexed(reader: FieldedReader, query: str, k: int = 10,
+                         shingles: bool = True, tld_boost: str | None = None,
+                         min_should_match: bool = True) -> DataFrame:
+    """Indexed SERP query → (doc_id [url], score), rank-identical to
+    `bm25.bm25_fielded_topk` over the same base."""
+    spark = reader.spark
+    empty = spark.createDataFrame([], "doc_id string, score double")
+    plan = _query_plan(reader, query, tld_boost)
+    if plan is None:
+        return empty
+    if not shingles:
+        plan["per_field"] = {n: s for n, s in plan["per_field"].items()
+                             if not s["shingle"]}
+        if not plan["per_field"]:
+            return empty
+    k1 = reader.man[TLD_FIELD].params["k1"]
+    b = reader.man[TLD_FIELD].params["b"]
+    req = bm25.msm_required(len(plan["q_terms"])) if min_should_match else 0
+
+    frames = []
+    specs = dict(plan["per_field"])
+    if plan["tld"]:
+        specs[TLD_FIELD] = plan["tld"]
+    for name, spec in specs.items():
+        terms = spec["terms"]
+        bks = sorted({term_bucket(t, reader.n_buckets) for t in terms})
+        frames.append(
+            reader.postings[name]
+            .where(F.col("bucket").isin(bks) & F.col("term").isin(terms))
+            .select(F.lit(name).alias("field"), "term", "shard", "block_id",
+                    "first_docid", "last_docid", "n_docs", "max_score_ub",
+                    "deltas", "tfs", "dls"))
+    blocks = frames[0]
+    for fr in frames[1:]:
+        blocks = blocks.unionByName(fr)
+
+    plan_b, kk = plan, k
+
+    def _kernel(pdf):
+        import pandas as pd
+        d, s = _score_fielded(pdf, plan_b, k1, b, kk, req)
+        return pd.DataFrame({"docid": d, "score": s})
+
+    per_shard = blocks.groupBy("shard").applyInPandas(
+        _kernel, schema="docid long, score double")
+    topk = (per_shard
+            .orderBy(F.round(F.col("score"), 9).desc(), F.asc("docid"))
+            .limit(k))
+    # docid → url (docids are url-rank, so the docid tie-break already
+    # equals the url tie-break; the join is only for display identity)
+    return (topk.join(reader.doc_meta, "docid")
+            .select(F.col("url").alias("doc_id"), "score")
+            .orderBy(F.round(F.col("score"), 9).desc(), F.asc("doc_id")))
+
+
+class FieldedLocalIndex:
+    """Serving-tier fielded queries (no Spark job)."""
+
+    def __init__(self, root: str):
+        import pyarrow.dataset as ds
+        self.root = root
+        with open(os.path.join(root, "fielded.json")) as f:
+            self.meta = json.load(f)
+        self.fields = {f["name"]: f for f in self.meta["fields"]}
+        part = ds.partitioning(flavor="hive")
+        self.man: dict[str, Manifest] = {}
+        self._post = {}
+        self._stats = {}
+        for name in list(self.fields) + [TLD_FIELD]:
+            d = os.path.join(root, "fields", name)
+            self.man[name] = Manifest.load(d)
+            self._post[name] = ds.dataset(f"{d}/postings", partitioning=part)
+            self._stats[name] = ds.dataset(f"{d}/term_stats", partitioning=part)
+        self.n_buckets = self.man[TLD_FIELD].params["n_buckets"]
+        self._urls = None
+
+    def stats_for(self, field: str, terms: list[str]) -> dict[str, int]:
+        import pyarrow.dataset as ds
+        if not terms:
+            return {}
+        bks = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        flt = ds.field("bucket").isin(bks) & ds.field("term").isin(terms)
+        tbl = self._stats[field].to_table(filter=flt, columns=["term", "df"])
+        return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+
+    def _url_of(self, docids):
+        import pyarrow.dataset as ds
+        if self._urls is None:
+            self._urls = ds.dataset(os.path.join(self.root, "doc_meta"))
+        tbl = self._urls.to_table(
+            filter=ds.field("docid").isin([int(d) for d in docids]),
+            columns=["docid", "url"])
+        return dict(zip(tbl["docid"].to_pylist(), tbl["url"].to_pylist()))
+
+    def topk(self, query: str, k: int = 10, shingles: bool = True,
+             tld_boost: str | None = None,
+             min_should_match: bool = True) -> list[tuple[str, float]]:
+        import pyarrow.dataset as ds
+        plan = _query_plan(self, query, tld_boost)
+        if plan is None:
+            return []
+        if not shingles:
+            plan["per_field"] = {n: s for n, s in plan["per_field"].items()
+                                 if not s["shingle"]}
+            if not plan["per_field"]:
+                return []
+        k1 = self.man[TLD_FIELD].params["k1"]
+        b = self.man[TLD_FIELD].params["b"]
+        req = bm25.msm_required(len(plan["q_terms"])) if min_should_match else 0
+
+        import pandas as pd
+        cols = ["term", "shard", "block_id", "first_docid", "last_docid",
+                "n_docs", "max_score_ub", "deltas", "tfs", "dls"]
+        parts = []
+        specs = dict(plan["per_field"])
+        if plan["tld"]:
+            specs[TLD_FIELD] = plan["tld"]
+        for name, spec in specs.items():
+            bks = sorted({term_bucket(t, self.n_buckets)
+                          for t in spec["terms"]})
+            flt = (ds.field("bucket").isin(bks)
+                   & ds.field("term").isin(spec["terms"]))
+            pdf = self._post[name].to_table(filter=flt, columns=cols).to_pandas()
+            pdf.insert(0, "field", name)
+            parts.append(pdf)
+        pdf = pd.concat(parts, ignore_index=True)
+        if not len(pdf):
+            return []
+        docs_all, scores_all = [], []
+        for _, g in pdf.groupby("shard", sort=True):
+            d, s = _score_fielded(g, plan, k1, b, k, req)
+            docs_all.append(d)
+            scores_all.append(s)
+        docids = np.concatenate(docs_all)
+        scores = np.concatenate(scores_all)
+        if not docids.size:
+            return []
+        idx = np.lexsort((docids, -np.round(scores, 9)))[:k]
+        urls = self._url_of(docids[idx])
+        return [(urls[int(docids[i])], float(scores[i])) for i in idx]

@@ -172,11 +172,17 @@ def _tf_table(docs: DataFrame, id_col: str, text_col: str,
 def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None,
                 id_col: str = "docid", text_col: str = "text",
                 url_col: str | None = "url", resume: bool = False,
-                check_invariants: bool = True, log=print) -> Manifest:
+                check_invariants: bool = True, log=print,
+                toks_col: str | None = None,
+                manage_cache: bool = True) -> Manifest:
     """Build a complete index at ``out_dir``.
 
     ``docs`` must already carry dense docids (assign_doc_ids) unless
-    url_col is given and id_col is absent.
+    url_col is given and id_col is absent. ``toks_col`` names a
+    pre-tokenized array<string> column to index instead of tokenizing
+    ``text_col`` (the fielded/shingle build path); ``manage_cache=False``
+    leaves the caller's persisted ``docs`` alone (used when one cached
+    frame feeds several per-field builds).
     """
     params = params or IndexParams()
     spark = docs.sparkSession
@@ -216,13 +222,15 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         # token arrays (tokenize-once) was measured SLOWER than letting
         # whole-stage codegen re-run the regex (object/GC overhead of
         # persisted array<string> outweighs the recompute).
-        docs = docs.persist()
+        if manage_cache:
+            docs = docs.persist()
 
         # doc_meta = dictionary (docid ↔ url) + doc_lengths in one table
         from pyspark.sql import Observation
         obs = Observation("corpus_stats")
-        meta_cols = [F.col(id_col).alias("docid"),
-                     F.size(analyze.tokens(F.col(text_col))).alias("dl")]
+        dl_expr = (F.size(F.col(toks_col)) if toks_col
+                   else F.size(analyze.tokens(F.col(text_col))))
+        meta_cols = [F.col(id_col).alias("docid"), dl_expr.alias("dl")]
         if url_col and url_col in docs.columns:
             meta_cols.append(F.col(url_col).alias("url"))
         meta = docs.select(*meta_cols).observe(
@@ -240,7 +248,7 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
                 raise RuntimeError(
                     f"docid collision: {n_all} rows, {n_ids} distinct ids")
 
-        tf = _tf_table(docs, id_col, text_col).withColumn(
+        tf = _tf_table(docs, id_col, text_col, toks_col).withColumn(
             "bucket", F.pmod(F.hash("term"), F.lit(params.n_buckets)))
 
         single_batch = params.bucket_batch >= params.n_buckets
@@ -358,7 +366,7 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
                 raise ValueError("cannot resume: no tf staging or docid staging")
             docs = enumerate_staged_docids(spark, staging, key=url_col or "url")
             id_col = "docid"
-        tf_source = _tf_table(docs, id_col, text_col).withColumn(
+        tf_source = _tf_table(docs, id_col, text_col, toks_col).withColumn(
             "bucket", F.pmod(F.hash("term"), F.lit(params.n_buckets)))
 
     all_buckets = list(range(params.n_buckets))
@@ -408,7 +416,8 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
 
     man.done = True
     man.save(out_dir)
-    for frame in (docs, tf_live):
+    frames = (docs, tf_live) if manage_cache else (tf_live,)
+    for frame in frames:
         try:
             frame.unpersist()
         except Exception:

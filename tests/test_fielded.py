@@ -1,0 +1,91 @@
+"""Fielded-index gate: compressed per-field index ≡ brute-force SERP
+scorer (`bm25.bm25_fielded_topk`) over the WHOLE reference query set —
+same urls, same scores — in both Spark and serving modes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jivesearch_spark import bm25, corpus
+from jivesearch_spark.extract import extract_page
+from jivesearch_spark.fielded import (FieldedLocalIndex, FieldedReader,
+                                      bm25_fielded_indexed,
+                                      build_fielded_index)
+from jivesearch_spark.index import IndexParams
+from jivesearch_spark.queries import QUERY_SET
+
+N_DOCS = 600
+PARAMS = IndexParams(docs_per_shard=200, n_buckets=4, bucket_batch=4)
+
+
+@pytest.fixture(scope="module")
+def spark_docs(spark):
+    rows = []
+    for i in range(N_DOCS):
+        url, ts, html, text, lang = corpus.gen_page(i)
+        d = extract_page(url, html)
+        rows.append((d.url, d.title, d.keywords, d.description, d.domain,
+                     d.path_parts, d.tld, d.index and d.canonical, d.lang,
+                     d.text))
+    df = spark.createDataFrame(
+        rows,
+        "url string, title string, keywords string, description string, "
+        "domain string, path_parts string, tld string, index boolean, "
+        "lang string, text string",
+    ).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def roots(spark, spark_docs, tmp_path_factory):
+    base = tmp_path_factory.mktemp("fielded")
+    out = {}
+    for lang in {q.lang for q in QUERY_SET}:
+        root = str(base / (lang or "all"))
+        build_fielded_index(spark_docs.where("index"), root, PARAMS,
+                            lang=lang, log=lambda *a: None)
+        out[lang] = root
+    return out
+
+
+@pytest.mark.spark
+def test_fielded_indexed_matches_bruteforce_full_query_set(
+        spark, spark_docs, roots):
+    readers = {lang: FieldedReader(spark, root)
+               for lang, root in roots.items()}
+    for q in QUERY_SET:
+        want = [(r.doc_id, round(r.score, 6)) for r in
+                bm25.bm25_fielded_topk(
+                    spark_docs, q.q, k=q.k, lang=q.lang, shingles=q.shingles,
+                    tld_boost=q.region_tld, min_should_match=q.msm).collect()]
+        got = [(r.doc_id, round(r.score, 6)) for r in
+               bm25_fielded_indexed(
+                   readers[q.lang], q.q, k=q.k, shingles=q.shingles,
+                   tld_boost=q.region_tld, min_should_match=q.msm).collect()]
+        assert got == want, f"q{q.query_id} {q.q!r}"
+
+
+@pytest.mark.spark
+def test_fielded_serve_matches_spark(spark, roots):
+    for lang, root in roots.items():
+        reader = FieldedReader(spark, root)
+        idx = FieldedLocalIndex(root)
+        for q in [qq for qq in QUERY_SET if qq.lang == lang][:4]:
+            spark_rows = [(r.doc_id, round(r.score, 6)) for r in
+                          bm25_fielded_indexed(
+                              reader, q.q, k=q.k, shingles=q.shingles,
+                              tld_boost=q.region_tld,
+                              min_should_match=q.msm).collect()]
+            served = [(u, round(s, 6)) for u, s in
+                      idx.topk(q.q, k=q.k, shingles=q.shingles,
+                               tld_boost=q.region_tld,
+                               min_should_match=q.msm)]
+            assert served == spark_rows, f"q{q.query_id} {q.q!r}"
+
+
+@pytest.mark.spark
+def test_fielded_empty_query(spark, roots):
+    reader = FieldedReader(spark, roots[None])
+    assert bm25_fielded_indexed(reader, "", 10).count() == 0
+    assert bm25_fielded_indexed(reader, "zzzznotaterm", 10).count() == 0
