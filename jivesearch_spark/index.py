@@ -61,6 +61,10 @@ class IndexParams:
     b: float = 0.75
     block_size: int = codec.BLOCK_SIZE
     codec_version: int = codec.CODEC_VERSION
+    #: "standard" (analyze.tokens) or an analyze_lang analyzer name
+    #: ("english", "french", "cjk", …) — the same chain is applied to
+    #: queries at read time (rank identity requires one spec).
+    analyzer: str = "standard"
 
 
 @dataclass
@@ -187,6 +191,16 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     params = params or IndexParams()
     spark = docs.sparkSession
     ensure_shipped(spark)
+
+    if toks_col is None and params.analyzer != "standard":
+        # per-language analyzer profile: the Arrow UDF chain lands in a
+        # column BEFORE docid staging, so analysis is materialized once
+        # into the staged parquet rather than recomputed per pass
+        from . import analyze_lang
+        docs = docs.withColumn(
+            "__lang_toks",
+            analyze_lang.tokens_lang(F.col(text_col), params.analyzer))
+        toks_col = "__lang_toks"
 
     man = Manifest.load(out_dir) if resume else None
     if man is None:

@@ -35,6 +35,16 @@ from .index import Manifest
 from .session import ensure_shipped
 
 
+def analyze_query(man: Manifest, query: str) -> list[str]:
+    """Tokenize a query with the SAME chain the index was built with
+    (manifest-pinned analyzer — rank identity requires one spec)."""
+    an = man.params.get("analyzer", "standard")
+    if an == "standard":
+        return analyze.py_tokens(query)
+    from . import analyze_lang
+    return analyze_lang.py_tokens_lang(query, an)
+
+
 class IndexReader:
     """Handle on an on-disk index (paths + manifest + cached stats)."""
 
@@ -66,7 +76,7 @@ def bm25_topk_indexed(reader: IndexReader, query: str, k: int = 10,
                       use_wand: bool = True,
                       min_should_match: bool = False) -> DataFrame:
     """Top-k over the compressed index; returns (docid, score)."""
-    q_terms = sorted(set(analyze.py_tokens(query)))
+    q_terms = sorted(set(analyze_query(reader.man, query)))
     spark = reader.spark
     empty = spark.createDataFrame([], "docid long, score double")
     if not q_terms:
@@ -230,7 +240,8 @@ def bm25_topk_batch(reader: IndexReader, queries: list[tuple[str, str]],
     """
     spark = reader.spark
     out_schema = "qid string, docid long, score double"
-    analyzed = {qid: sorted(set(analyze.py_tokens(q))) for qid, q in queries}
+    analyzed = {qid: sorted(set(analyze_query(reader.man, q)))
+                for qid, q in queries}
     all_terms = sorted({t for ts in analyzed.values() for t in ts})
     empty = spark.createDataFrame([], out_schema)
     if not all_terms:

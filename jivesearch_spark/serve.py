@@ -28,10 +28,10 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import analyze, bm25
+from . import bm25
 from .hashing import term_bucket
 from .index import Manifest
-from .query import _score_shard_np
+from .query import _score_shard_np, analyze_query
 
 _POSTING_COLS = ["term", "shard", "block_id", "first_docid", "last_docid",
                  "n_docs", "max_score_ub", "deltas", "tfs", "dls"]
@@ -81,7 +81,7 @@ class LocalIndex:
     def topk(self, query: str, k: int = 10, use_wand: bool = True,
              min_should_match: bool = False) -> list[tuple[int, float]]:
         """Top-k (docid, score); rank-identical to the Spark path."""
-        q_terms = sorted(set(analyze.py_tokens(query)))
+        q_terms = sorted(set(analyze_query(self.man, query)))
         if not q_terms:
             return []
         dfs = self.stats_for(q_terms)
@@ -117,7 +117,8 @@ class LocalIndex:
         """Serve many queries with ONE pruned postings read (shared
         scan for the union of terms), then per-query kernels — the
         shape of a batched serving tier."""
-        analyzed = {q: sorted(set(analyze.py_tokens(q))) for q in queries}
+        analyzed = {q: sorted(set(analyze_query(self.man, q)))
+                    for q in queries}
         all_terms = sorted({t for ts in analyzed.values() for t in ts})
         if not all_terms:
             return {q: [] for q in queries}

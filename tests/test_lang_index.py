@@ -1,0 +1,77 @@
+"""Language-analyzer index profile (lang-v1) gate.
+
+Stemmed tokens are pure [a-z0-9]+ strings, so an index built with
+`analyzer="english"` must be posting-identical to a standard index
+built over pre-stemmed text (`" ".join(py_tokens_lang(text))`), and
+its query side must stem the query with the same chain — verified by
+comparing the english-profile path against that surrogate end-to-end,
+Spark and serve flavors.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jivesearch_spark import analyze_lang
+from jivesearch_spark.index import IndexParams, build_index
+from jivesearch_spark.query import IndexReader, bm25_topk_indexed
+from jivesearch_spark.serve import LocalIndex
+
+SF_DIR = "/root/testdata/sf0.001"
+QUERIES = ["the fastest keys ordered", "sparking grouped queries",
+           "customers running windows", "merged parts", "slowly"]
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("lang_index")
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .selectExpr("doc_id AS docid", "text"))
+
+    root_en = str(base / "english")
+    build_index(docs, root_en,
+                IndexParams(docs_per_shard=100, n_buckets=8, bucket_batch=8,
+                            analyzer="english"),
+                url_col=None, log=lambda *a: None)
+
+    stem = F.udf(lambda t: " ".join(analyze_lang.py_tokens_lang(t or "")))
+    root_std = str(base / "standard")
+    build_index(docs.withColumn("text", stem("text")), root_std,
+                IndexParams(docs_per_shard=100, n_buckets=8, bucket_batch=8),
+                url_col=None, log=lambda *a: None)
+    return root_en, root_std
+
+
+@pytest.mark.spark
+def test_lang_index_matches_prestemmed_surrogate(spark, built):
+    root_en, root_std = built
+    r_en = IndexReader(spark, root_en)
+    r_std = IndexReader(spark, root_std)
+    assert r_en.man.params["analyzer"] == "english"
+    for q in QUERIES:
+        got = [(r.docid, round(r.score, 9)) for r in
+               bm25_topk_indexed(r_en, q, 10).collect()]
+        q_stemmed = " ".join(analyze_lang.py_tokens_lang(q))
+        want = [(r.docid, round(r.score, 9)) for r in
+                bm25_topk_indexed(r_std, q_stemmed, 10).collect()]
+        assert got == want, q
+    # stemming is what makes these inflected queries match at all
+    assert bm25_topk_indexed(r_en, "customers running windows", 10).count() > 0
+
+
+@pytest.mark.spark
+def test_lang_index_serve_matches_spark(spark, built):
+    root_en, _ = built
+    r_en = IndexReader(spark, root_en)
+    idx = LocalIndex(root_en)
+    for q in QUERIES:
+        spark_rows = [(r.docid, round(r.score, 9)) for r in
+                      bm25_topk_indexed(r_en, q, 10).collect()]
+        served = [(d, round(s, 9)) for d, s in idx.topk(q, 10)]
+        assert served == spark_rows, q
+
+
+@pytest.mark.spark
+def test_stopwords_removed_from_index(spark, built):
+    root_en, _ = built
+    r_en = IndexReader(spark, root_en)
+    assert r_en.stats_for(["the", "of", "a"]) == {}
