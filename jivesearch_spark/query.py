@@ -57,6 +57,7 @@ class IndexReader:
         self.n_buckets = self.man.params["n_buckets"]
         self.postings = spark.read.parquet(f"{root}/postings")
         self.term_stats = spark.read.parquet(f"{root}/term_stats")
+        self._df_cache: dict[str, int] = {}
         ensure_shipped(spark)
 
     def buckets_of(self, terms: list[str]) -> list[int]:
@@ -65,11 +66,17 @@ class IndexReader:
         return sorted({term_bucket(t, self.n_buckets) for t in terms})
 
     def stats_for(self, terms: list[str]) -> dict[str, int]:
-        bks = self.buckets_of(terms)
-        rows = (self.term_stats
-                .where(F.col("bucket").isin(bks) & F.col("term").isin(terms))
-                .select("term", "df").collect())
-        return {r["term"]: r["df"] for r in rows}
+        # per-term df memoized: a repeated term costs zero Spark jobs
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            bks = self.buckets_of(missing)
+            rows = (self.term_stats
+                    .where(F.col("bucket").isin(bks) & F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            found = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._df_cache[t] = int(found.get(t, 0))
+        return {t: self._df_cache[t] for t in terms if self._df_cache[t] > 0}
 
 
 def bm25_topk_indexed(reader: IndexReader, query: str, k: int = 10,
