@@ -106,8 +106,10 @@ def q_bm25_served(spark, sf_dir):
 
     rows = LocalIndex(_ensure_index(spark, sf_dir)).topk(
         QUERY_MAIN, k=10, use_wand=True)
-    return spark.createDataFrame(
-        [(d, round(s, 4)) for d, s in rows], "doc_id long, score double")
+    # F.round (HALF_UP) to match q_bm25_indexed and the DuckDB oracle;
+    # Python round is half-even and can differ at 4-decimal midpoints
+    return (spark.createDataFrame(rows, "doc_id long, score double")
+            .select("doc_id", F.round("score", 4).alias("score")))
 
 
 BATCH_QUERIES = [("qa", QUERY_MAIN), ("qb", "table scan merge"),

@@ -284,19 +284,25 @@ def tokens_lang(col: Column | str, analyzer: str = "english") -> Column:
 def analyzed_docs(df, text_col: str = "text", lang_col: str = "lang",
                   out_col: str = "toks"):
     """Route each row through its language's analyzer (the Spark analog
-    of one-index-per-analyzer): group langs present in the data,
-    resolve each to an analyzer, apply the matching UDF per partition
-    of the CASE expression. Lang cardinality is tiny (≤34 analyzers) so
-    this stays one projection."""
-    langs = [r[0] for r in df.select(lang_col).distinct().collect()]
-    by_analyzer: dict[str, list[str]] = {}
-    for lg in langs:
-        by_analyzer.setdefault(analyzer_for(lg or ""), []).append(lg)
-    expr = None
-    for an, lgs in sorted(by_analyzer.items()):
-        cond = F.col(lang_col).isin(lgs)
-        branch = tokens_lang(F.col(text_col), an)
-        expr = branch if expr is None else F.when(cond, branch).otherwise(expr)
-    # NOTE: chained construction evaluates the LAST analyzer as the
-    # fallback branch; conditions cover every lang seen above.
-    return df.withColumn(out_col, expr)
+    of one-index-per-analyzer): ONE Arrow-batched UDF over (text, lang)
+    resolving the analyzer per row via ``analyzer_for`` — each row is
+    tokenized exactly once regardless of how many languages the corpus
+    mixes (a CASE-of-UDFs alternative would be hoisted by
+    ExtractPythonUDFs and run EVERY analyzer on EVERY row), and NULL /
+    unknown langs take the english fallback like extraction does
+    (document.go:439-447)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _route(text, lang):
+        import pandas as pd
+        cache: dict[str, str] = {}
+        out = []
+        for tx, lg in zip(text, lang):
+            key = lg or ""
+            an = cache.get(key)
+            if an is None:
+                an = cache[key] = analyzer_for(key)
+            out.append(py_tokens_lang(tx, an))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _route(F.col(text_col), F.col(lang_col)))

@@ -124,16 +124,21 @@ class FieldedReader:
             self.stats[name] = spark.read.parquet(f"{d}/term_stats")
         self.n_buckets = self.man[TLD_FIELD].params["n_buckets"]
         self.doc_meta = spark.read.parquet(f"{root}/doc_meta")
+        self._df_cache: dict[tuple[str, str], int] = {}
         ensure_shipped(spark)
 
     def stats_for(self, field: str, terms: list[str]) -> dict[str, int]:
-        if not terms:
-            return {}
-        bks = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        rows = (self.stats[field]
-                .where(F.col("bucket").isin(bks) & F.col("term").isin(terms))
-                .select("term", "df").collect())
-        return {r["term"]: r["df"] for r in rows}
+        missing = [t for t in terms if (field, t) not in self._df_cache]
+        if missing:
+            bks = sorted({term_bucket(t, self.n_buckets) for t in missing})
+            rows = (self.stats[field]
+                    .where(F.col("bucket").isin(bks) & F.col("term").isin(missing))
+                    .select("term", "df").collect())
+            found = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._df_cache[(field, t)] = int(found.get(t, 0))
+        return {t: self._df_cache[(field, t)] for t in terms
+                if self._df_cache[(field, t)] > 0}
 
 
 def _query_plan(reader, query: str, tld_boost: str | None):
@@ -300,15 +305,21 @@ class FieldedLocalIndex:
             self._stats[name] = ds.dataset(f"{d}/term_stats", partitioning=part)
         self.n_buckets = self.man[TLD_FIELD].params["n_buckets"]
         self._urls = None
+        self._df_cache: dict[tuple[str, str], int] = {}
 
     def stats_for(self, field: str, terms: list[str]) -> dict[str, int]:
         import pyarrow.dataset as ds
-        if not terms:
-            return {}
-        bks = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        flt = ds.field("bucket").isin(bks) & ds.field("term").isin(terms)
-        tbl = self._stats[field].to_table(filter=flt, columns=["term", "df"])
-        return dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+        missing = [t for t in terms if (field, t) not in self._df_cache]
+        if missing:
+            bks = sorted({term_bucket(t, self.n_buckets) for t in missing})
+            flt = ds.field("bucket").isin(bks) & ds.field("term").isin(missing)
+            tbl = self._stats[field].to_table(filter=flt,
+                                              columns=["term", "df"])
+            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            for t in missing:
+                self._df_cache[(field, t)] = int(found.get(t, 0))
+        return {t: self._df_cache[(field, t)] for t in terms
+                if self._df_cache[(field, t)] > 0}
 
     def _url_of(self, docids):
         import pyarrow.dataset as ds

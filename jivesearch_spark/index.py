@@ -84,6 +84,11 @@ class Manifest:
             return None
         with open(p) as f:
             d = json.load(f)
+        # forward-compat: params added after a manifest was written get
+        # their defaults, so old indexes stay resumable/readable
+        defaults = asdict(IndexParams())
+        for key, val in defaults.items():
+            d.setdefault("params", {}).setdefault(key, val)
         return cls(**d)
 
     def save(self, root: str) -> None:
@@ -453,10 +458,17 @@ def merge_indexes(spark, seg_dirs: list[str], out_dir: str,
     build over the union (the determinism gate). This is the
     incremental-refresh path: new snapshot → new segment → merge.
     """
-    params = params or IndexParams()
     mans = [Manifest.load(d) for d in seg_dirs]
     if any(m is None or not m.done for m in mans):
         raise ValueError("all segments must be complete")
+    if params is None:
+        # inherit the segments' params — in particular the analyzer:
+        # queries against the merged index are tokenized by its
+        # manifest, so silently defaulting to "standard" over stemmed
+        # postings would break rank identity without an error
+        if any(m.params != mans[0].params for m in mans[1:]):
+            raise ValueError("segments have differing params; pass params")
+        params = IndexParams(**mans[0].params)
 
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)

@@ -95,8 +95,7 @@ def bm25_topk_indexed(reader: IndexReader, query: str, k: int = 10,
         return empty
     n_docs, avgdl = reader.man.n_docs, reader.man.avgdl
     k1, b = reader.man.params["k1"], reader.man.params["b"]
-    idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
-           for t in present}
+    idf = {t: bm25.idf(n_docs, dfs[t]) for t in present}
     req = bm25.msm_required(len(q_terms)) if min_should_match else 0
 
     bks = reader.buckets_of(present)
@@ -247,6 +246,8 @@ def bm25_topk_batch(reader: IndexReader, queries: list[tuple[str, str]],
     """
     spark = reader.spark
     out_schema = "qid string, docid long, score double"
+    if len({qid for qid, _ in queries}) != len(queries):
+        raise ValueError("duplicate qids in batch")
     analyzed = {qid: sorted(set(analyze_query(reader.man, q)))
                 for qid, q in queries}
     all_terms = sorted({t for ts in analyzed.values() for t in ts})
@@ -259,8 +260,7 @@ def bm25_topk_batch(reader: IndexReader, queries: list[tuple[str, str]],
         return empty
     n_docs, avgdl = reader.man.n_docs, reader.man.avgdl
     k1, b = reader.man.params["k1"], reader.man.params["b"]
-    idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
-           for t in live}
+    idf = {t: bm25.idf(n_docs, dfs[t]) for t in live}
     reqs = {qid: (bm25.msm_required(len(ts)) if min_should_match else 0)
             for qid, ts in analyzed.items()}
 

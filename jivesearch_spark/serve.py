@@ -81,35 +81,7 @@ class LocalIndex:
     def topk(self, query: str, k: int = 10, use_wand: bool = True,
              min_should_match: bool = False) -> list[tuple[int, float]]:
         """Top-k (docid, score); rank-identical to the Spark path."""
-        q_terms = sorted(set(analyze_query(self.man, query)))
-        if not q_terms:
-            return []
-        dfs = self.stats_for(q_terms)
-        present = [t for t in q_terms if t in dfs]
-        if not present:
-            return []
-        n_docs, avgdl = self.man.n_docs, self.man.avgdl
-        idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5)))
-               for t in present}
-        req = bm25.msm_required(len(q_terms)) if min_should_match else 0
-
-        pdf = self._blocks_for(present)
-        if not len(pdf):
-            return []
-        docs_all, scores_all = [], []
-        # shard groups mirror the Spark path's applyInPandas groups
-        for _, g in pdf.groupby("shard", sort=True):
-            d, s = _score_shard_np(g, idf, self.k1, self.b, avgdl,
-                                   k, req, use_wand)
-            docs_all.append(d)
-            scores_all.append(s)
-        docids = np.concatenate(docs_all)
-        scores = np.concatenate(scores_all)
-        if docids.size == 0:
-            return []
-        # pinned global tie-break: round(score,9) desc, docid asc
-        idx = np.lexsort((docids, -np.round(scores, 9)))[:k]
-        return [(int(docids[i]), float(scores[i])) for i in idx]
+        return self.topk_batch([query], k, use_wand, min_should_match)[query]
 
     def topk_batch(self, queries: list[str], k: int = 10,
                    use_wand: bool = True,
@@ -134,8 +106,7 @@ class LocalIndex:
             if not present or pdf is None or not len(pdf):
                 out[q] = []
                 continue
-            idf = {t: float(np.log(1.0 + (n_docs - dfs[t] + 0.5)
-                                   / (dfs[t] + 0.5))) for t in present}
+            idf = {t: bm25.idf(n_docs, dfs[t]) for t in present}
             req = bm25.msm_required(len(q_terms)) if min_should_match else 0
             sub = pdf[pdf["term"].isin(present)]
             docs_all, scores_all = [], []

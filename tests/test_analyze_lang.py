@@ -126,6 +126,8 @@ SAMPLES = [
     ("東京は日本の首都です", "ja"),
     ("", "en"),
     ("mixed 語 text", "zh-Hans"),
+    ("null lang rows take the english fallback", None),
+    ("unknown lang too", "xx-YY"),
 ]
 
 
