@@ -75,3 +75,33 @@ def test_stopwords_removed_from_index(spark, built):
     root_en, _ = built
     r_en = IndexReader(spark, root_en)
     assert r_en.stats_for(["the", "of", "a"]) == {}
+
+
+@pytest.mark.spark
+def test_merge_inherits_analyzer(spark, built, tmp_path):
+    """merge_indexes without explicit params must carry the segments'
+    analyzer into the merged manifest (else queries against stemmed
+    postings would silently tokenize unstemmed)."""
+    from jivesearch_spark.index import merge_indexes
+
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .selectExpr("doc_id AS docid", "text"))
+    params = IndexParams(docs_per_shard=100, n_buckets=8, bucket_batch=8,
+                         analyzer="english")
+    lo = docs.where("docid < 250")
+    hi = docs.where("docid >= 250")
+    s1, s2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    build_index(lo, s1, params, url_col=None, log=lambda *a: None)
+    build_index(hi, s2, params, url_col=None, log=lambda *a: None)
+    merged = str(tmp_path / "merged")
+    man = merge_indexes(spark, [s1, s2], merged, log=lambda *a: None)
+    assert man.params["analyzer"] == "english"
+
+    r_merged = IndexReader(spark, merged)
+    r_full = IndexReader(spark, built[0])
+    q = "customers running windows"
+    got = [(r.docid, round(r.score, 9)) for r in
+           bm25_topk_indexed(r_merged, q, 10).collect()]
+    want = [(r.docid, round(r.score, 9)) for r in
+            bm25_topk_indexed(r_full, q, 10).collect()]
+    assert got and got == want
