@@ -73,7 +73,7 @@ def build_pipeline(spark, pages_path: str, out_root: str):
 
     t0 = time.time()
     pages = spark.read.parquet(pages_path)
-    docs = (extract_pages_df(pages)
+    docs = (extract_pages_df(pages, collect_links=False)
             .where(F.col("valid") & F.col("index") & F.col("canonical"))
             .select("url", "text"))
     params = IndexParams(docs_per_shard=1 << 16, n_buckets=32, bucket_batch=32)

@@ -189,10 +189,12 @@ class _HeadParser(HTMLParser):
     def __init__(self, doc_id: str, base_url: str,
                  truncate_title: int = TRUNCATE_TITLE,
                  truncate_keywords: int = TRUNCATE_KEYWORDS,
-                 truncate_description: int = TRUNCATE_DESCRIPTION):
+                 truncate_description: int = TRUNCATE_DESCRIPTION,
+                 collect_links: bool = True):
         super().__init__(convert_charrefs=True)
         self.doc_id = doc_id
         self.base_url = base_url
+        self.collect_links = collect_links
         self.truncate_title = truncate_title
         self.truncate_keywords = truncate_keywords
         self.truncate_description = truncate_description
@@ -246,7 +248,9 @@ class _HeadParser(HTMLParser):
                 content = self._attr(attrs, "content") or ""
                 self.policy.apply(content)
         elif tag == "a":
-            if self.policy.follow:
+            # link resolution is crawl-frontier work (urljoin per <a> is
+            # ~30% of extraction); the batch index build skips it
+            if self.collect_links and self.policy.follow:
                 rel = self._attr(attrs, "rel") or ""
                 if "nofollow" not in [r.strip().lower() for r in rel.split()]:
                     href = self._attr(attrs, "href")
@@ -255,11 +259,12 @@ class _HeadParser(HTMLParser):
                         if u:
                             self.links.append(u)
         elif tag == "img":
-            src = self._attr(attrs, "src")
-            if src:
-                u = gourl.handle_link(self.base_url, src)
-                if u:
-                    self.images.append((u, self._attr(attrs, "alt") or ""))
+            if self.collect_links:
+                src = self._attr(attrs, "src")
+                if src:
+                    u = gourl.handle_link(self.base_url, src)
+                    if u:
+                        self.images.append((u, self._attr(attrs, "alt") or ""))
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
@@ -307,7 +312,8 @@ class ExtractedDoc:
 def extract_page(link: str, html_bytes: bytes | None,
                  truncate_title: int = TRUNCATE_TITLE,
                  truncate_keywords: int = TRUNCATE_KEYWORDS,
-                 truncate_description: int = TRUNCATE_DESCRIPTION) -> ExtractedDoc:
+                 truncate_description: int = TRUNCATE_DESCRIPTION,
+                 collect_links: bool = True) -> ExtractedDoc:
     """Full per-page extraction: URL derivation (document.New,
     document.go:65-87) + MIME/charset + head extraction (SetContent)."""
     out = ExtractedDoc()
@@ -335,7 +341,8 @@ def extract_page(link: str, html_bytes: bytes | None,
         return out
 
     text = decode_html(html_bytes)
-    parser = _HeadParser(out.url, out.url, truncate_title, truncate_keywords, truncate_description)
+    parser = _HeadParser(out.url, out.url, truncate_title, truncate_keywords,
+                         truncate_description, collect_links)
     try:
         parser.feed(text)
         parser.close()
@@ -369,7 +376,8 @@ EXTRACT_SCHEMA = (
 )
 
 
-def extract_pages_df(pages_df, stub_noindex: bool = True):
+def extract_pages_df(pages_df, stub_noindex: bool = True,
+                     collect_links: bool = True):
     """pages(url, warc_ts, html, …) → extracted docs DataFrame.
 
     Runs the extractor as an Arrow-batched ``mapInPandas`` (one Python
@@ -389,7 +397,8 @@ def extract_pages_df(pages_df, stub_noindex: bool = True):
         for pdf in batches:
             rows = []
             for link, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
-                d = extract_page(link, bytes(html) if html is not None else None)
+                d = extract_page(link, bytes(html) if html is not None else None,
+                                 collect_links=collect_links)
                 if stub_noindex and (not d.index or not d.canonical):
                     # stub projection: identity fields only (crawler.go:311-322)
                     rows.append((d.url, ts, d.scheme, d.host, "", "", "", "", "",

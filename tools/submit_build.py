@@ -54,7 +54,8 @@ def main(argv=None):
 
     t0 = time.time()
     pages = spark.read.parquet(args.pages)
-    docs = (extract_pages_df(pages)
+    # index build never consumes links — skip frontier link resolution
+    docs = (extract_pages_df(pages, collect_links=False)
             .where(F.col("valid") & F.col("index") & F.col("canonical"))
             .select("url", "text"))
     params = IndexParams(docs_per_shard=args.docs_per_shard,
