@@ -117,6 +117,63 @@ def encode_blocks(docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
         }
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length of each value (LEB128): ceil(bitlen/7)."""
+    v = np.asarray(values, dtype=np.uint64)
+    bits = np.where(v == 0, 1, 64 - _clz64(v))
+    return (bits + 6) // 7
+
+
+def encode_blocks_frame(docids: np.ndarray, tfs: np.ndarray,
+                        dls: np.ndarray, scores: np.ndarray,
+                        group_starts: np.ndarray):
+    """Encode MANY posting lists (one sorted frame of groups) at once.
+
+    ``group_starts`` marks each (term, shard) group's first row; every
+    group is split into BLOCK_SIZE blocks. All three varint streams are
+    encoded in ONE vectorized pass over the whole frame, then sliced
+    per block by cumulative byte offsets — the encode-side analog of
+    ``decode_blocks_concat`` (3 numpy passes instead of 3 calls per
+    block). Byte output is identical to per-block ``encode_blocks``.
+
+    Returns (block_starts, block_meta dict of arrays, deltas/tfs/dls
+    byte lists) where block_meta has block_id, first_docid,
+    last_docid, n_docs, max_score_ub.
+    """
+    n = docids.size
+    docids = np.asarray(docids, dtype=np.int64)
+    sizes = np.diff(np.append(group_starts, n))
+    offset_in_group = np.arange(n) - np.repeat(group_starts, sizes)
+    is_block_start = (offset_in_group % BLOCK_SIZE) == 0
+    block_starts = np.flatnonzero(is_block_start)
+    block_ends = np.append(block_starts[1:], n)
+
+    meta = {
+        "block_id": (offset_in_group[block_starts] // BLOCK_SIZE).astype(np.int64),
+        "first_docid": docids[block_starts],
+        "last_docid": docids[block_ends - 1],
+        "n_docs": (block_ends - block_starts).astype(np.int64),
+        "max_score_ub": np.maximum.reduceat(scores, block_starts),
+    }
+
+    deltas = docids.astype(np.uint64).copy()
+    deltas[1:] = (docids[1:] - docids[:-1]).astype(np.uint64)
+    deltas[block_starts] = docids[block_starts].astype(np.uint64)
+
+    out_bytes = []
+    for stream in (deltas, np.asarray(tfs, dtype=np.uint64),
+                   np.asarray(dls, dtype=np.uint64)):
+        buf = varint_encode(stream)
+        ends = np.cumsum(varint_lengths(stream))
+        b0 = np.empty(block_starts.size, dtype=np.int64)
+        b0[0] = 0
+        b0[1:] = ends[block_starts[1:] - 1]
+        b1 = ends[block_ends - 1]
+        out_bytes.append([buf[i:j] for i, j in zip(b0, b1)])
+
+    return block_starts, meta, out_bytes[0], out_bytes[1], out_bytes[2]
+
+
 def decode_block(deltas: bytes, tfs: bytes, dls: bytes, n_docs: int):
     """Inverse of encode_blocks for one block → (docids, tfs, dls)."""
     d = varint_decode(deltas, n_docs).astype(np.int64)

@@ -316,9 +316,10 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     def _encode_groups(pdf):
         """Encode all complete (term, shard) groups in a sorted frame.
 
-        Input is sorted by (term, shard, docid); avoids the
-        per-group applyInPandas overhead (one Arrow batch holds
-        thousands of tiny term groups).
+        Input is sorted by (term, shard, docid); one Arrow batch holds
+        thousands of tiny term groups and ALL of them are encoded in
+        three vectorized varint passes (codec.encode_blocks_frame) —
+        no per-group or per-block Python math.
         """
         import pandas as pd
         terms_a = pdf["term"].values
@@ -327,25 +328,25 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         new_grp[0] = True
         new_grp[1:] = (terms_a[1:] != terms_a[:-1]) | (shards_a[1:] != shards_a[:-1])
         starts = np.flatnonzero(new_grp)
-        ends = np.append(starts[1:], len(pdf))
-        docid_a = pdf["docid"].values
-        tf_a = pdf["tf"].values
-        dl_a = pdf["dl"].values
-        df_a = pdf["df"].values
+        docid_a = pdf["docid"].values.astype(np.int64)
+        tf_a = pdf["tf"].values.astype(np.int64)
+        dl_a = pdf["dl"].values.astype(np.int64)
+        df_a = pdf["df"].values.astype(np.float64)
         bucket_a = pdf["bucket"].values
-        rows = []
-        for s, e in zip(starts, ends):
-            df_t = int(df_a[s])
-            idf = float(np.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)))
-            for r in codec.encode_blocks(docid_a[s:e], tf_a[s:e], dl_a[s:e],
-                                         idf, k1, b, avgdl):
-                rows.append((int(bucket_a[s]), terms_a[s], int(shards_a[s]),
-                             r["block_id"], r["first_docid"], r["last_docid"],
-                             r["n_docs"], r["max_score_ub"],
-                             r["deltas"], r["tfs"], r["dls"]))
-        return pd.DataFrame(rows, columns=[
-            "bucket", "term", "shard", "block_id", "first_docid",
-            "last_docid", "n_docs", "max_score_ub", "deltas", "tfs", "dls"])
+
+        idf_row = np.log(1.0 + (n_docs - df_a + 0.5) / (df_a + 0.5))
+        tfn = (tf_a * (k1 + 1.0)
+               / (tf_a + k1 * (1.0 - b + b * dl_a / max(avgdl, 1e-9))))
+        bs, meta, deltas_b, tfs_b, dls_b = codec.encode_blocks_frame(
+            docid_a, tf_a, dl_a, idf_row * tfn, starts)
+        return pd.DataFrame({
+            "bucket": bucket_a[bs], "term": terms_a[bs],
+            "shard": shards_a[bs], "block_id": meta["block_id"],
+            "first_docid": meta["first_docid"],
+            "last_docid": meta["last_docid"], "n_docs": meta["n_docs"],
+            "max_score_ub": meta["max_score_ub"],
+            "deltas": deltas_b, "tfs": tfs_b, "dls": dls_b,
+        })
 
     def _encode_stream(batch_iter):
         """mapInPandas with (term, shard)-group carry across Arrow
