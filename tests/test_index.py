@@ -51,6 +51,41 @@ def test_codec_roundtrip_property():
         assert np.array_equal(codec.varint_decode(codec.varint_encode(v), n), v)
 
 
+def test_codec_frame_encode_equals_per_block():
+    """encode_blocks_frame (vectorized whole-batch) must be
+    byte-identical to per-group encode_blocks."""
+    rng = np.random.default_rng(5)
+    k1, b, avgdl = 1.2, 0.75, 34.7
+    for _ in range(5):
+        groups, starts, pos = [], [], 0
+        for _g in range(int(rng.integers(1, 40))):
+            n = int(rng.integers(1, 700))
+            docids = np.sort(rng.choice(10**8, n, replace=False)).astype(np.int64)
+            tfs = rng.integers(1, 50, n).astype(np.int64)
+            dls = rng.integers(1, 500, n).astype(np.int64)
+            groups.append((docids, tfs, dls, float(rng.uniform(0.1, 8))))
+            starts.append(pos)
+            pos += n
+        D = np.concatenate([g[0] for g in groups])
+        T = np.concatenate([g[1] for g in groups])
+        L = np.concatenate([g[2] for g in groups])
+        tfn = T * (k1 + 1.0) / (T + k1 * (1 - b + b * L / avgdl))
+        idf_row = np.concatenate([np.full(g[0].size, g[3]) for g in groups])
+        bs, meta, db, tb, lb = codec.encode_blocks_frame(
+            D, T, L, idf_row * tfn, np.array(starts))
+        ref = []
+        for docids, tfs, dls, idf in groups:
+            ref.extend(codec.encode_blocks(docids, tfs, dls, idf, k1, b, avgdl))
+        assert len(ref) == bs.size
+        for i, r in enumerate(ref):
+            assert (r["block_id"], r["first_docid"], r["last_docid"],
+                    r["n_docs"]) == (meta["block_id"][i],
+                                     meta["first_docid"][i],
+                                     meta["last_docid"][i], meta["n_docs"][i])
+            assert abs(r["max_score_ub"] - meta["max_score_ub"][i]) < 1e-12
+            assert (r["deltas"], r["tfs"], r["dls"]) == (db[i], tb[i], lb[i])
+
+
 def test_codec_concat_decode_property():
     """Batch decode over concatenated block streams ≡ per-block decode."""
     rng = np.random.default_rng(11)
