@@ -99,3 +99,37 @@ def completions(store: DataFrame, prefix: str, size: int = 10) -> DataFrame:
     return (store.where(F.col("query").startswith(p))
             .orderBy(F.desc("weight"), F.asc("query"))
             .limit(size))
+
+
+def write_store(store: DataFrame, path: str) -> None:
+    """Publish the store sorted by query so parquet row-group min/max
+    statistics make serving-side prefix lookups a pruned range read."""
+    store.repartitionByRange(max(1, store.sparkSession.sparkContext
+                                 .defaultParallelism // 4), "query") \
+         .sortWithinPartitions("query") \
+         .write.mode("overwrite").parquet(path)
+
+
+class LocalSuggest:
+    """Serving-tier autocomplete: pyarrow range-pruned prefix reads,
+    no Spark job (the /autocomplete endpoint analog — the reference
+    answers these from the ES completion suggester)."""
+
+    def __init__(self, path: str):
+        import pyarrow.dataset as ds
+        self._ds = ds.dataset(path)
+
+    def complete(self, prefix: str, size: int = 10) -> list[tuple[str, int]]:
+        import pyarrow.dataset as ds
+        p = " ".join(prefix.strip().lower().split())
+        if not p:
+            return []
+        # [p, p+￿) covers every string with prefix p; both bounds
+        # hit the row-group min/max stats
+        flt = (ds.field("query") >= p) & (ds.field("query") < p + "￿")
+        tbl = self._ds.to_table(filter=flt, columns=["query", "weight"])
+        rows = [(q, int(w)) for q, w in
+                zip(tbl["query"].to_pylist(), tbl["weight"].to_pylist())
+                if q.startswith(p)]
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        return rows[:size]

@@ -88,6 +88,31 @@ def test_record_and_complete(spark):
 
 
 @pytest.mark.spark
+def test_local_suggest_matches_spark(spark, tmp_path):
+    """Serving-tier prefix lookup ≡ Spark `completions` on the
+    published store."""
+    from jivesearch_spark.suggest import (LocalSuggest, completions,
+                                          record_queries, write_store)
+    log = spark.createDataFrame(
+        [("bob dylan",)] * 3 + [("bob marley",)] * 2
+        + [("bobcat",), ("bach",), ("bobby fischer",)], "query string")
+    store = record_queries(log)
+    path = str(tmp_path / "suggest_store")
+    write_store(store, path)
+    local = LocalSuggest(path)
+    published = spark.read.parquet(path)
+    for prefix in ("bob", "bob ", "bac", "zzz", ""):
+        want = [(r["query"], r["weight"]) for r in
+                completions(published, prefix, 10).collect()]
+        got = local.complete(prefix, 10)
+        if prefix == "":
+            # Spark path returns everything for ""; serving returns []
+            assert got == []
+        else:
+            assert got == want, prefix
+
+
+@pytest.mark.spark
 def test_bang_queries_batch(spark):
     from jivesearch_spark.bangs import bang_queries
     df = spark.createDataFrame(
