@@ -86,6 +86,33 @@ def test_codec_frame_encode_equals_per_block():
             assert (r["deltas"], r["tfs"], r["dls"]) == (db[i], tb[i], lb[i])
 
 
+@pytest.mark.spark
+def test_head_term_skew_bounded_by_shards(spark, tmp_path):
+    """A term present in EVERY doc (worst-case head skew) must be split
+    across doc-range shards with every (term, shard) group bounded by
+    docs_per_shard — no single task ever holds a whole head term — and
+    still score correctly."""
+    docs = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .selectExpr("doc_id AS docid",
+                        "concat(text, ' zzhead zzhead') AS text"))
+    root = str(tmp_path / "skew")
+    build_index(docs, root, PARAMS, url_col=None, log=lambda *a: None)
+
+    from pyspark.sql import functions as F
+    post = spark.read.parquet(f"{root}/postings").where("term = 'zzhead'")
+    per_shard = {r["shard"]: r["n"] for r in
+                 post.groupBy("shard")
+                 .agg(F.sum("n_docs").alias("n")).collect()}
+    n_docs = docs.count()
+    assert len(per_shard) == -(-n_docs // PARAMS.docs_per_shard)
+    assert all(n <= PARAMS.docs_per_shard for n in per_shard.values())
+    assert sum(per_shard.values()) == n_docs  # df == N, tf == 2 each
+
+    reader = IndexReader(spark, root)
+    top = bm25_topk_indexed(reader, "zzhead", 5).collect()
+    assert len(top) == 5  # matches everything; shortest docs win
+
+
 def test_codec_concat_decode_property():
     """Batch decode over concatenated block streams ≡ per-block decode."""
     rng = np.random.default_rng(11)
