@@ -82,7 +82,9 @@ class Answerer:
         if self._compiled is None:
             self.__class__._compiled = [re.compile(p) for p in self.regexes()]
         for rx in self._compiled:
-            mo = rx.match(query)
+            # unanchored like Go FindStringSubmatch (answers.go:164) —
+            # the tracking-number triggers match mid-query
+            mo = rx.search(query)
             if mo is None:
                 continue
             gd = mo.groupdict()
@@ -676,23 +678,36 @@ class UserAgent(Answerer):
 # first-match-wins order per frontend/answer.go:114-179 (Speed before
 # Length so "miles per hour" beats "miles"; fetcher-backed answers
 # omitted — see module docstring)
+from . import external  # noqa: E402  (needs Answerer defined above)
+
+#: dispatch priority verbatim from frontend/answer.go:114-179 —
+#: Speed before Length ("miles per hour" b/f "miles"), Wikipedia last
+#: (the catch-all box)
 ANSWERERS: list[Answerer] = [
-    BirthStone(), Calculator(), CamelCase(), Characters(), Coin(),
-    CountryCode(), DigitalStorage(), Frequency(), Hash(), Speed(),
-    Length(), Minify(), MortgageCalculator(), Potus(), Power(), Prime(),
-    Random(), Reverse(), Stats(), Temperature(), URLDecode(), URLEncode(),
-    UserAgent(),
+    BirthStone(), external.Breach(), Calculator(), CamelCase(),
+    Characters(), Coin(), external.Congress(), CountryCode(),
+    external.Currency(), external.Discography(), DigitalStorage(),
+    external.FedEx(), Frequency(), external.GDP(), Hash(), Speed(),
+    Length(), external.Maps(), Minify(), MortgageCalculator(),
+    external.Population(), Potus(), Power(), Prime(), Random(),
+    Reverse(), external.Shortener(), Stats(), external.StockQuote(),
+    Temperature(), external.USPS(), external.UPS(), URLDecode(),
+    URLEncode(), UserAgent(), external.StackOverflow(),
+    external.Weather(), external.WHOIS(), external.Wikipedia(),
 ]
 
 
 def detect(query: str, user_agent: str = "", seed: int | None = None,
-           answerers: list[Answerer] | None = None) -> Data:
+           answerers: list[Answerer] | None = None,
+           wiki_items: dict | None = None) -> Data:
     """DetectInstantAnswer (frontend/answer.go:101-181): normalize the
     query, walk the registry in order, return the first answer whose
-    trigger matches and whose solve() doesn't reject."""
+    trigger matches and whose solve() doesn't reject. ``wiki_items``
+    (title → item dict) backs the Wikipedia catch-all box."""
     import random as _random
     q = normalize_query(query)
     ctx = {"query": q, "user_agent": user_agent,
+           "wiki_items": wiki_items,
            "rng": _random.Random(seed if seed is not None
                                  else hash(q) & 0x7FFFFFFF)}
     for ia in (answerers or ANSWERERS):

@@ -142,10 +142,10 @@ def test_non_triggers():
     for q in ["46th POTUS", "32nd vice POTUS"]:
         d = detect(q)
         assert not (d.triggered and d.type == "potus"), q
-    # a tracking-number-looking string must not become a calculator hit
-    assert not detect("123456789012").triggered
+    # a tracking number is a FedEx hit (fedex.go:43-49), NOT a calculator hit
+    assert detect("123456789012").type == "fedex"
     # plain searches fall through entirely
-    assert not detect("bob dylan albums").triggered
+    assert not detect("bob dylan and the band").triggered
 
 
 def test_dispatch_order_speed_before_length():
