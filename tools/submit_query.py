@@ -19,32 +19,55 @@ import json
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", action="append", required=True)
+    ap.add_argument("--query", action="append", default=[])
+    ap.add_argument("--queries-file",
+                    help="file with one query per line — answered as ONE "
+                         "Spark job (bm25_topk_batch, shared pruned scan)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["spark", "serve"], default="spark")
     ap.add_argument("--msm", action="store_true",
                     help="apply minimum-should-match -25%%")
     args = ap.parse_args(argv)
+    if not args.query and not args.queries_file:
+        ap.error("need --query or --queries-file")
+
+    queries = list(args.query)
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            queries += [ln.strip() for ln in f if ln.strip()]
 
     if args.mode == "serve":
         from jivesearch_spark.serve import LocalIndex
         idx = LocalIndex(args.index)
-        for q in args.query:
-            hits = idx.topk(q, args.k, min_should_match=args.msm)
-            print(json.dumps({"q": q, "hits": [[d, round(s, 6)] for d, s in hits]}))
+        batch = idx.topk_batch(queries, args.k, min_should_match=args.msm)
+        for q in queries:
+            print(json.dumps({"q": q, "hits": [[d, round(s, 6)]
+                                               for d, s in batch[q]]}))
         return
 
     from pyspark.sql import SparkSession
 
-    from jivesearch_spark.query import IndexReader, bm25_topk_indexed
+    from jivesearch_spark.query import (IndexReader, bm25_topk_batch,
+                                        bm25_topk_indexed)
     spark = SparkSession.builder.appName("jivesearch-query").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     reader = IndexReader(spark, args.index)
-    for q in args.query:
-        rows = bm25_topk_indexed(reader, q, args.k,
-                                 min_should_match=args.msm).collect()
-        print(json.dumps({"q": q,
-                          "hits": [[r.docid, round(r.score, 6)] for r in rows]}))
+    if len(queries) > 1:
+        # whole log in one job: shared pruned scan, per-qid window top-k
+        qid_of = {f"q{i}": q for i, q in enumerate(queries)}
+        rows = bm25_topk_batch(reader, list(qid_of.items()), args.k,
+                               min_should_match=args.msm).collect()
+        by_qid: dict = {}
+        for r in rows:
+            by_qid.setdefault(r.qid, []).append([r.docid, round(r.score, 6)])
+        for qid, q in qid_of.items():
+            print(json.dumps({"q": q, "hits": by_qid.get(qid, [])}))
+    else:
+        for q in queries:
+            rows = bm25_topk_indexed(reader, q, args.k,
+                                     min_should_match=args.msm).collect()
+            print(json.dumps({"q": q, "hits": [[r.docid, round(r.score, 6)]
+                                               for r in rows]}))
     spark.stop()
 
 
