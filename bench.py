@@ -134,33 +134,42 @@ def main():
         corpus.write_pages(spark, pages_path, N_DOCS, partitions=CPUS * 4)
         spark.stop()
 
-    # ---- scaling pair (N=low vs 4N=high cores): MEDIAN over the SAME
-    # rep count at both levels — this VM has noisy shared IO/clocks and
-    # an asymmetric discipline (min-of-many at one level only) biases
-    # the ratio either way.
-    def timed_builds(cores, out, reps):
+    # ---- scaling pair (N=low vs 4N=high cores), INTERLEAVED reps:
+    # this shared VM's speed drifts minute-to-minute (co-tenants,
+    # turbo), so each efficiency sample comes from a back-to-back
+    # (low, high) pair and the reported number is the MEDIAN of the
+    # per-pair ratios — a slow patch hits both halves of a pair
+    # instead of biasing one level.
+    def one_build(cores, out):
         spark = make_session(cores)
-        times = []
-        for rep in range(reps):
-            shutil.rmtree(out, ignore_errors=True)
-            _, t = build_pipeline(spark, pages_path, out)
-            log(f"[bench] build local[{cores}] rep{rep}: {t:.1f}s")
-            times.append(t)
+        shutil.rmtree(out, ignore_errors=True)
+        _, t = build_pipeline(spark, pages_path, out)
         spark.stop()
-        ts = sorted(times)
+        return t
+
+    pairs = max(2, BUILD_REPS - 1)
+    lows, highs, ratios = [], [], []
+    for rep in range(pairs):
+        tl = one_build(low, f"{WORK}/idx_low")
+        th = one_build(high, f"{WORK}/idx_high")
+        log(f"[bench] pair rep{rep}: local[{low}]={tl:.1f}s "
+            f"local[{high}]={th:.1f}s eff={(tl / th) / (high / low):.3f}")
+        lows.append(tl)
+        highs.append(th)
+        ratios.append((tl / th) / (high / low))
+    shutil.rmtree(f"{WORK}/idx_low", ignore_errors=True)
+
+    def median(xs):
+        ts = sorted(xs)
         mid = len(ts) // 2
         return ts[mid] if len(ts) % 2 else (ts[mid - 1] + ts[mid]) / 2
 
-    low_reps = max(1, BUILD_REPS - 1)  # low level is slow; 2 reps suffice
-    t_low = timed_builds(low, f"{WORK}/idx_low", low_reps)
-    shutil.rmtree(f"{WORK}/idx_low", ignore_errors=True)
+    t_low, t_high = median(lows), median(highs)
     results[f"build_sec_c{low}"] = round(t_low, 2)
     results[f"build_docs_per_sec_c{low}"] = round(N_DOCS / t_low, 1)
-
-    t_high = timed_builds(high, f"{WORK}/idx_high", BUILD_REPS)
     results[f"build_sec_c{high}"] = round(t_high, 2)
     results[f"build_docs_per_sec_c{high}"] = round(N_DOCS / t_high, 1)
-    eff = (t_low / t_high) / (high / low)
+    eff = median(ratios)
     results["scaling_efficiency"] = round(eff, 3)
     ceil = cpu_ceiling(low, high)
     results["cpu_ceiling_efficiency"] = ceil
@@ -175,7 +184,8 @@ def main():
     # low/high pair above. The peak build also provides idx for the
     # query replay below.
     peak = max(high, 8)
-    t_peak = timed_builds(peak, f"{WORK}/idx_high", 2)
+    t_peak = min(one_build(peak, f"{WORK}/idx_high") for _ in range(2))
+    log(f"[bench] peak local[{peak}]: {t_peak:.1f}s")
     results[f"build_sec_c{peak}"] = round(t_peak, 2)
     results["build_docs_per_sec_peak"] = round(N_DOCS / t_peak, 1)
 
