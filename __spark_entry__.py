@@ -417,6 +417,15 @@ def q_display_functions(spark, sf_dir):
     )
 
 
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact O(n²); the scale
+    path runs the same comparator inside LSH buckets — ann_lsh_topk)."""
+    from jivesearch_spark.tdp import ann
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out = ann.cosine_pairs(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from jivesearch_spark.tdp import ann
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
@@ -517,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "cosine_near_dup": q_cosine_near_dup,
         "instant_answers": q_instant_answers,
         "suggest_store": q_suggest_store,
         "bang_dispatch": q_bang_dispatch,
@@ -858,5 +868,15 @@ ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
                                         CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, e.vec_id
 LIMIT 10""",
+        "cosine_near_dup": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.35""",
     }
     return sql
