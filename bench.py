@@ -147,16 +147,23 @@ def main():
         spark.stop()
         return t
 
-    pairs = max(2, BUILD_REPS - 1)
-    lows, highs, ratios = [], [], []
+    pairs = max(2, BUILD_REPS)
+    lows, highs, ratios, ceils, norms = [], [], [], [], []
     for rep in range(pairs):
         tl = one_build(low, f"{WORK}/idx_low")
         th = one_build(high, f"{WORK}/idx_high")
+        # raw-CPU ceiling measured in the SAME time window as the pair
+        # (host load drifts minute-to-minute; an end-of-run ceiling
+        # can't normalize a mid-run slowdown)
+        ceil_r = cpu_ceiling(low, high)
+        eff_r = (tl / th) / (high / low)
         log(f"[bench] pair rep{rep}: local[{low}]={tl:.1f}s "
-            f"local[{high}]={th:.1f}s eff={(tl / th) / (high / low):.3f}")
+            f"local[{high}]={th:.1f}s eff={eff_r:.3f} ceiling={ceil_r:.3f}")
         lows.append(tl)
         highs.append(th)
-        ratios.append((tl / th) / (high / low))
+        ratios.append(eff_r)
+        ceils.append(ceil_r)
+        norms.append(min(1.0, eff_r / ceil_r))
     shutil.rmtree(f"{WORK}/idx_low", ignore_errors=True)
 
     def median(xs):
@@ -169,14 +176,12 @@ def main():
     results[f"build_docs_per_sec_c{low}"] = round(N_DOCS / t_low, 1)
     results[f"build_sec_c{high}"] = round(t_high, 2)
     results[f"build_docs_per_sec_c{high}"] = round(N_DOCS / t_high, 1)
-    eff = median(ratios)
-    results["scaling_efficiency"] = round(eff, 3)
-    ceil = cpu_ceiling(low, high)
-    results["cpu_ceiling_efficiency"] = ceil
+    results["scaling_efficiency"] = round(median(ratios), 3)
+    results["cpu_ceiling_efficiency"] = round(median(ceils), 3)
     # a real 4N-executor cluster adds silicon; this VM shares it. The
     # ceiling-normalized number separates pipeline scalability from
     # host turbo/bandwidth effects (see BENCH/BASELINE.md).
-    results["scaling_efficiency_normalized"] = round(min(1.0, eff / ceil), 3)
+    results["scaling_efficiency_normalized"] = round(median(norms), 3)
 
     # peak throughput at this VM's sweet spot (8 cores — beyond that
     # SMT/memory-bandwidth sharing lowers absolute throughput). The
