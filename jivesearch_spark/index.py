@@ -112,7 +112,9 @@ def assign_doc_ids(docs: DataFrame, key: str = "url",
     import tempfile
 
     spark = docs.sparkSession
-    p = max(2, spark.sparkContext.defaultParallelism)
+    # 3 waves of range partitions — balances the per-partition sort +
+    # enumeration work across cores even when ranges are uneven
+    p = max(2, 3 * spark.sparkContext.defaultParallelism)
 
     # Materialize the range partitioning ONCE: repartitionByRange
     # seeds its sampler with the RDD id, so two jobs over the same
@@ -393,7 +395,10 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     batches = [all_buckets[i:i + params.bucket_batch]
                for i in range(0, len(all_buckets), params.bucket_batch)]
 
-    n_enc_parts = max(2, spark.sparkContext.defaultParallelism)
+    # 3 waves of smaller encode tasks instead of 1 wave of big ones:
+    # term-group sizes are skewed, and a single straggler in a
+    # one-wave stage idles every other core for its whole tail
+    n_enc_parts = max(2, 3 * spark.sparkContext.defaultParallelism)
 
     for batch in batches:
         key = f"buckets_{batch[0]}_{batch[-1]}"

@@ -82,6 +82,9 @@ def get_spark(master: str | None = None, app_name: str = "jivesearch-spark",
         # scaling AND smaller indexes
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.io.compression.codec", "zstd")
+        # smaller input splits: scans produce ≥3 balanced waves instead
+        # of e.g. 7 tasks on 4 cores (1.75 waves, last wave 43% idle)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
