@@ -147,7 +147,7 @@ def main():
         spark.stop()
         return t
 
-    pairs = max(2, BUILD_REPS)
+    pairs = max(2, BUILD_REPS - 1)
     lows, highs, ratios, ceils, norms = [], [], [], [], []
     for rep in range(pairs):
         tl = one_build(low, f"{WORK}/idx_low")

@@ -63,30 +63,52 @@ TLD_SKIP = ("us", "tv", "me", "co", "io")
 
 def build_fielded_index(docs: DataFrame, root: str,
                         params: IndexParams | None = None,
-                        lang: str | None = None, log=print) -> dict:
+                        lang: str | None = None, resume: bool = False,
+                        log=print) -> dict:
     """``docs`` = extracted pages already filtered to ``index=true``
-    (and to one language when mirroring the per-language layout)."""
+    (and to one language when mirroring the per-language layout).
+
+    ``resume=True`` restarts a killed build: completed per-field
+    sub-indexes (their manifests say ``done``) are skipped, the
+    in-flight one resumes from its own bucket-batch lineage, and
+    docids are re-derived deterministically from the staged parquet —
+    field granularity on top of the per-field batch granularity."""
     params = params or IndexParams()
     spark = docs.sparkSession
     ensure_shipped(spark)
     if lang is not None:
         docs = docs.where(F.col("lang") == lang)
 
-    docs = assign_doc_ids(docs, key="url",
-                          staging_dir=os.path.join(root, "docid_staging"))
+    staging = os.path.join(root, "docid_staging")
+    if resume and os.path.exists(staging):
+        from .index import enumerate_staged_docids
+        docs = enumerate_staged_docids(spark, staging, key="url")
+    else:
+        docs = assign_doc_ids(docs, key="url", staging_dir=staging)
     docs = docs.persist()
-    (docs.select("docid", "url")
-     .write.mode("overwrite").parquet(os.path.join(root, "doc_meta")))
+    meta_path = os.path.join(root, "doc_meta")
+    if not (resume and os.path.exists(meta_path)):
+        (docs.select("docid", "url")
+         .write.mode("overwrite").parquet(meta_path))
+
+    def _sub_build(fname, toks):
+        d = os.path.join(root, "fields", fname)
+        if resume:
+            man = Manifest.load(d)
+            if man is not None and man.done:
+                log(f"[fielded] resume: {fname} already complete")
+                return
+        sub = docs.withColumn("__toks", toks)
+        build_index(sub, d, params, id_col="docid", url_col=None,
+                    toks_col="__toks", resume=resume,
+                    check_invariants=False, manage_cache=False, log=log)
 
     fielded = {"lang": lang, "fields": [], "tld_field": TLD_FIELD}
     for fname, src, boost, shingle in FIELD_SPECS:
         toks = analyze.tokens(F.col(src))
         if shingle:
             toks = analyze.bigrams(toks)
-        sub = docs.withColumn("__toks", toks)
-        build_index(sub, os.path.join(root, "fields", fname), params,
-                    id_col="docid", url_col=None, toks_col="__toks",
-                    check_invariants=False, manage_cache=False, log=log)
+        _sub_build(fname, toks)
         fielded["fields"].append({"name": fname, "boost": boost,
                                   "shingle": shingle})
 
@@ -94,10 +116,7 @@ def build_fielded_index(docs: DataFrame, root: str,
     # BM25 term with tf=1, dl=1 — tf_norm(1,1,1)=1 ⇒ bonus = idf)
     tld_toks = F.filter(F.array(F.col("tld")),
                         lambda x: x.isNotNull() & (F.length(x) > 0))
-    sub = docs.withColumn("__toks", tld_toks)
-    build_index(sub, os.path.join(root, "fields", TLD_FIELD), params,
-                id_col="docid", url_col=None, toks_col="__toks",
-                check_invariants=False, manage_cache=False, log=log)
+    _sub_build(TLD_FIELD, tld_toks)
 
     docs.unpersist()
     with open(os.path.join(root, "fielded.json"), "w") as f:

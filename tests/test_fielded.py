@@ -85,6 +85,32 @@ def test_fielded_serve_matches_spark(spark, roots):
 
 
 @pytest.mark.spark
+def test_fielded_resume_rebuilds_only_missing_field(spark, spark_docs, roots,
+                                                   tmp_path):
+    import shutil
+
+    root = str(tmp_path / "resume")
+    build_fielded_index(spark_docs.where("index"), root, PARAMS,
+                        log=lambda *a: None)
+    reader = FieldedReader(spark, root)
+    q = QUERY_SET[0]
+    before = [(r.doc_id, round(r.score, 6)) for r in
+              bm25_fielded_indexed(reader, q.q, k=q.k).collect()]
+
+    # simulate a kill mid-build: one field's sub-index lost
+    shutil.rmtree(f"{root}/fields/title")
+    skipped = []
+    build_fielded_index(spark_docs.where("index"), root, PARAMS, resume=True,
+                        log=lambda *a: skipped.append(" ".join(map(str, a))))
+    assert any("already complete" in s for s in skipped)
+
+    after = [(r.doc_id, round(r.score, 6)) for r in
+             bm25_fielded_indexed(FieldedReader(spark, root), q.q,
+                                  k=q.k).collect()]
+    assert after == before
+
+
+@pytest.mark.spark
 def test_fielded_empty_query(spark, roots):
     reader = FieldedReader(spark, roots[None])
     assert bm25_fielded_indexed(reader, "", 10).count() == 0
