@@ -182,3 +182,27 @@ def test_batch_answer_queries(spark):
     assert out["reverse abc"]["solution"] == '"cba"'
     assert not out["not an instant query"]["triggered"]
     assert out["avg 1 2 3"]["solution"] == '"Average: 2"'
+
+
+@pytest.mark.spark
+def test_batch_wikipedia_catch_all(spark):
+    """The Wikipedia box (last in dispatch) answers otherwise-unclaimed
+    queries from a broadcast wiki-items dimension."""
+    import json
+
+    from jivesearch_spark.instant import answer_queries
+    items = spark.createDataFrame(
+        [("Bob Dylan", "American singer-songwriter")],
+        "title string, definition string")
+    df = spark.createDataFrame(
+        [("bob dylan",), ("define bob dylan",), ("unknown thing",),
+         ("reverse abc",)], "query string")
+    out = {r["query"]: r for r in
+           answer_queries(df, wiki_items=items).collect()}
+    assert out["bob dylan"]["answer_type"] == "wikipedia"
+    sol = json.loads(out["bob dylan"]["solution"])
+    assert sol["title"] == "Bob Dylan"
+    assert json.loads(out["define bob dylan"]["solution"])["fact"] == "define"
+    assert not out["unknown thing"]["triggered"]
+    # earlier answerers still outrank the catch-all
+    assert out["reverse abc"]["answer_type"] == "reverse"
