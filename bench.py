@@ -231,6 +231,16 @@ def main():
     results["serve_p50"] = round(pctl(serve_lat, 50), 4)
     results["serve_p95"] = round(pctl(serve_lat, 95), 4)
 
+    # serving throughput: the 6-query set replayed as batches (shared
+    # pruned scan per batch) — queries/sec a single serving process
+    # sustains
+    qs_only = [q for _, q in BENCH_QUERIES]
+    t0 = time.time()
+    reps_qps = 20
+    for _ in range(reps_qps):
+        local.topk_batch(qs_only, 10, use_wand=True)
+    results["serve_qps"] = round(reps_qps * len(qs_only) / (time.time() - t0), 1)
+
     # ---- driver-table queries at SF_DIR ----
     import __spark_entry__ as e
     qs = e.queries()
