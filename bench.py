@@ -120,6 +120,58 @@ def cpu_ceiling(low: int, high: int) -> float:
     return round((t_lo / t_hi) / (high / low), 3)
 
 
+_CHILD_BUILD = '''
+import sys, os, shutil, time
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_DRIVER_MEM"] = "8g"
+from jivesearch_spark.session import get_spark
+from pyspark.sql import functions as F
+from jivesearch_spark.extract import extract_pages_df
+from jivesearch_spark.index import IndexParams, build_index
+i = sys.argv[1]
+spark = get_spark(master="local[1]", app_name=f"ceil-{{i}}", shuffle_partitions=2)
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(0, 4, 1, 4).mapInPandas(lambda it: it, schema="id long").count()
+pages = spark.read.parquet({pages!r})
+docs = (extract_pages_df(pages, collect_links=False)
+        .where(F.col("valid") & F.col("index") & F.col("canonical"))
+        .select("url", "text"))
+out = {work!r} + f"/ceil_idx_{{i}}"
+shutil.rmtree(out, ignore_errors=True)
+t0 = time.time()
+build_index(docs, out, IndexParams(docs_per_shard=1<<16, n_buckets=32,
+                                   bucket_batch=32),
+            id_col="__none__", url_col="url", check_invariants=False,
+            log=lambda *a: None)
+print(f"CHILD_SECONDS {{time.time()-t0:.2f}}", flush=True)
+spark.stop()
+'''
+
+
+def workload_ceiling(n: int, pages_path: str, t_solo: float) -> tuple:
+    """The host's TRUE scaling ceiling for THIS workload: run n
+    concurrent local[1] builds (n independent 1-executor 'clusters' on
+    the same silicon a local[n] job would use) and compare each
+    child's build time to the solo local[1] time. Perfect pipeline
+    scaling cannot beat t_solo/t_concurrent on this box — unlike a
+    pure-ALU burn, this captures the memory-bandwidth/turbo sharing a
+    memory-heavy pipeline actually experiences."""
+    import subprocess
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = _CHILD_BUILD.format(repo=repo, pages=pages_path, work=WORK)
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(i)],
+                              stdout=subprocess.PIPE, text=True)
+             for i in range(n)]
+    child_secs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=1800)
+        for ln in out.splitlines():
+            if ln.startswith("CHILD_SECONDS"):
+                child_secs.append(float(ln.split()[1]))
+    t_conc = sorted(child_secs)[len(child_secs) // 2]
+    return round(min(1.0, t_solo / t_conc), 3), t_conc
+
+
 def main():
     t_start = time.time()
     results: dict[str, float] = {}
@@ -182,6 +234,17 @@ def main():
     # ceiling-normalized number separates pipeline scalability from
     # host turbo/bandwidth effects (see BENCH/BASELINE.md).
     results["scaling_efficiency_normalized"] = round(median(norms), 3)
+
+    # workload-true host ceiling: 4 CONCURRENT local[1] builds (no
+    # coordination at all) against the solo local[1] time — what
+    # perfect scaling could at best achieve on this silicon
+    if high // low == 4:
+        w_ceil, t_conc = workload_ceiling(4, pages_path, t_low)
+        log(f"[bench] workload ceiling: solo c1={t_low:.1f}s "
+            f"4x-concurrent c1={t_conc:.1f}s ceiling={w_ceil:.3f}")
+        results["workload_ceiling_efficiency"] = w_ceil
+        results["scaling_efficiency_vs_workload_ceiling"] = round(
+            min(1.0, median(ratios) / w_ceil), 3)
 
     # peak throughput at this VM's sweet spot (8 cores — beyond that
     # SMT/memory-bandwidth sharing lowers absolute throughput). The
