@@ -229,6 +229,74 @@ def q_status_histogram(spark, sf_dir):
     return crawlops.status_histogram(ev.withColumn("status", status))
 
 
+#: deterministic synthetic crawl timestamps for the P3/P6 predicates:
+#: crawled = base + (doc_id % 60) days, NULL when doc_id % 11 == 0
+_CRAWLED_EXPR = ("timestamp'2026-01-01 00:00:00'"
+                 " + make_interval(0, 0, 0, CAST(doc_id % 60 AS INT))")
+_NOW_TS = "2026-02-15 00:00:00"
+_SINCE_TS = "2026-01-10 00:00:00"
+
+
+def _docs_with_crawled(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    crawled = F.when(F.col("doc_id") % 11 == 0,
+                     F.lit(None).cast("timestamp")).otherwise(F.expr(_CRAWLED_EXPR))
+    return d.withColumn("crawled", crawled)
+
+
+def q_recrawl_due(spark, sf_dir):
+    """P3 recrawl-window predicate (crawler.go:236-239): due when never
+    crawled or last crawl older than the 30-day window, against a
+    fixed 'now' so the oracle is deterministic."""
+    from jivesearch_spark import crawlops
+    d = _docs_with_crawled(spark, sf_dir)
+    out = crawlops.recrawl_due(d, since_days=30,
+                               now_col=F.to_timestamp(F.lit(_NOW_TS)))
+    return out.select("doc_id", "crawled")
+
+
+def q_uncrawled(spark, sf_dir):
+    """P6 anti-exists OR range predicate (image/elasticsearch.go:115-149)."""
+    import datetime
+
+    from jivesearch_spark import crawlops
+    d = _docs_with_crawled(spark, sf_dir)
+    out = crawlops.uncrawled(d, since=datetime.datetime(2026, 1, 10))
+    return out.select("doc_id", "crawled")
+
+
+def q_nsfw_filter(spark, sf_dir):
+    """P2 safe-search range predicate (image/elasticsearch.go:26-33);
+    score derived deterministically from event_id."""
+    from jivesearch_spark import crawlops
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    scored = ev.withColumn("nsfw_score",
+                           (F.col("event_id") % 100) / F.lit(100.0))
+    out = crawlops.nsfw_filter(scored, threshold=0.3, safe=True)
+    return out.select("event_id", F.round("nsfw_score", 4).alias("nsfw_score"))
+
+
+def q_label_max(spark, sf_dir):
+    """A9 multi-key label split + max score per label
+    (image/cmd/images.go:192-208)."""
+    from jivesearch_spark import crawlops
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    labeled = ev.select(
+        F.concat_ws("|", F.col("event_type"),
+                    (F.col("event_id") % 5).cast("string")).alias("label"),
+        F.col("value").alias("score"))
+    return (crawlops.separate_keys_max(labeled)
+            .select("label", F.round("score", 4).alias("score")))
+
+
+def q_hash_functions(spark, sf_dir):
+    """§2.8 hash answerer primitives (instant/hash.go:77) as JVM
+    column functions (md5/sha2 stay inside whole-stage codegen)."""
+    d = _docs(spark, sf_dir).select("source").distinct()
+    return d.select("source", F.md5("source").alias("md5_hex"),
+                    F.sha2(F.col("source").cast("binary"), 256).alias("sha256_hex"))
+
+
 def q_agg_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(_t(sf_dir, "lineitem"))
     return (li.where(F.col("l_shipdate") <= "1998-09-02")
@@ -512,6 +580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "domain_quota": q_domain_quota,
         "status_histogram": q_status_histogram,
+        "recrawl_due": q_recrawl_due,
+        "uncrawled": q_uncrawled,
+        "nsfw_filter": q_nsfw_filter,
+        "label_max": q_label_max,
+        "hash_functions": q_hash_functions,
         "agg_pricing_summary": q_agg_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "left_join_order_counts": q_left_join_order_counts,
@@ -688,6 +761,35 @@ WITH s AS (
   FROM events)
 SELECT (status // 100)::VARCHAR || 'xx' AS status_class, count(*) AS n
 FROM s GROUP BY 1 ORDER BY 1""",
+        "recrawl_due": f"""
+WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN NULL
+       ELSE TIMESTAMP '2026-01-01 00:00:00' + (doc_id % 60) * INTERVAL 1 DAY
+  END AS crawled
+  FROM documents)
+SELECT doc_id, crawled FROM d
+WHERE crawled IS NULL
+   OR crawled < TIMESTAMP '{_NOW_TS}' - INTERVAL 30 DAY""",
+        "uncrawled": f"""
+WITH d AS (SELECT doc_id,
+  CASE WHEN doc_id % 11 = 0 THEN NULL
+       ELSE TIMESTAMP '2026-01-01 00:00:00' + (doc_id % 60) * INTERVAL 1 DAY
+  END AS crawled
+  FROM documents)
+SELECT doc_id, crawled FROM d
+WHERE crawled IS NULL OR crawled <= TIMESTAMP '{_SINCE_TS}'""",
+        "nsfw_filter": """
+SELECT event_id, round((event_id % 100) / 100.0, 4) AS nsfw_score
+FROM events WHERE (event_id % 100) / 100.0 < 0.3""",
+        "label_max": """
+WITH s AS (SELECT event_type || '|' || CAST(event_id % 5 AS VARCHAR) AS label,
+                  value AS score FROM events),
+ex AS (SELECT unnest(string_split(label, '|')) AS label, score FROM s)
+SELECT label, round(max(score), 4) AS score FROM ex GROUP BY 1""",
+        "hash_functions": """
+SELECT DISTINCT source, md5(source) AS md5_hex,
+       sha256(source) AS sha256_hex
+FROM documents""",
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
