@@ -65,6 +65,81 @@ def q_bm25_msm(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_bm25_fielded(spark, sf_dir):
+    """The reference SERP scorer (search/elasticsearch.go:32-48):
+    cross-field BM25 with boosts domain^3 / path^2 / title^1.5 /
+    description, bigram-shingle should clauses, index=true filter,
+    MSM -25% — over field columns derived deterministically from the
+    documents table (title/description/path = token-stream slices,
+    domain = source, index bit from doc_id)."""
+    d = _docs(spark, sf_dir)
+    tk = analyze.tokens(F.col("text"))
+    fielded = d.select(
+        "doc_id",
+        (F.col("doc_id") % 13 != 0).alias("index"),
+        F.col("source").alias("domain"),
+        F.concat_ws(" ", F.slice(tk, 4, 6)).alias("path_parts"),
+        F.concat_ws(" ", F.slice(tk, 1, 6)).alias("title"),
+        F.concat_ws(" ", F.slice(tk, 7, 24)).alias("description"),
+    )
+    out = bm25.bm25_fielded_topk(fielded, QUERY_MAIN, k=10, id_col="doc_id",
+                                 shingles=True, min_should_match=True)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def _fielded_sql() -> str:
+    """DuckDB replay of q_bm25_fielded: same derived fields, same
+    per-field stats, same arithmetic shape as the single-field oracle
+    (proven bit-compatible with the Spark formula)."""
+    q_tokens = analyze.py_tokens(QUERY_MAIN)
+    q_terms = sorted(set(q_tokens))
+    q_bigrams = sorted(set(analyze.py_bigrams(q_tokens)))
+    msm = bm25.msm_required(len(q_terms))
+
+    tok = ("list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), "
+           "t -> t <> '')")
+    big = ("[{l}[i] || ' ' || {l}[i+1] for i in range(1, len({l}))]")
+    fields = [
+        ("f0", tok.format(col="source"), 3.0, q_terms, False),
+        ("f1", "tk[4:9]", 2.0, q_terms, False),
+        ("f2", "tk[1:6]", 1.5, q_terms, False),
+        ("f3", "tk[7:30]", 1.0, q_terms, False),
+        ("f4", big.format(l="tk[1:6]"), 1.0, q_bigrams, True),
+        ("f5", big.format(l="tk[7:30]"), 1.0, q_bigrams, True),
+    ]
+    ctes, unions = [], []
+    for name, expr, boost, terms, is_sh in fields:
+        tl = _terms_sql(terms)
+        m_term = "CAST(NULL AS VARCHAR)" if is_sh else "t.term"
+        ctes.append(f"""
+{name}_base AS (SELECT doc_id, {expr} AS ftk FROM base),
+{name}_stats AS (SELECT avg(len(ftk)) AS avgdl FROM {name}_base),
+{name}_tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM
+   (SELECT doc_id, len(ftk) AS dl, unnest(ftk) AS term FROM {name}_base)
+   WHERE term IN ({tl}) GROUP BY 1, 2, 3),
+{name}_df AS (SELECT term, count(DISTINCT doc_id) AS df
+              FROM {name}_tf GROUP BY 1),
+{name}_sc AS (SELECT t.doc_id, {m_term} AS m_term,
+   {boost} * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+   * t.tf * 2.2 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / a.avgdl)) AS tscore
+   FROM {name}_tf t JOIN {name}_df d USING (term)
+   CROSS JOIN stats s CROSS JOIN {name}_stats a)""")
+        unions.append(f"SELECT * FROM {name}_sc")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents WHERE doc_id % 13 <> 0),
+stats AS (SELECT count(*) AS n_docs FROM base),{",".join(ctes)},
+u AS ({" UNION ALL ".join(unions)}),
+agg AS (SELECT doc_id, sum(tscore) AS raw, count(DISTINCT m_term) AS nm
+        FROM u GROUP BY 1)
+SELECT doc_id, round(raw, 4) AS score FROM agg
+WHERE nm >= {msm}
+ORDER BY round(raw, 9) DESC, doc_id LIMIT 10"""
+
+
 _INDEX_CACHE: dict[str, str] = {}
 
 
@@ -565,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_msm": q_bm25_msm,
+        "bm25_fielded": q_bm25_fielded,
         "bm25_indexed": q_bm25_indexed,
         "bm25_served": q_bm25_served,
         "bm25_batch": q_bm25_batch,
@@ -701,6 +777,7 @@ ORDER BY round(raw, 9) DESC, doc_id LIMIT 10"""
     sql = {
         "bm25_topk": bm25_sql(terms_main),
         "bm25_msm": bm25_sql(terms_msm, msm_req),
+        "bm25_fielded": _fielded_sql(),
         "bm25_indexed": bm25_sql(terms_main),
         "bm25_served": bm25_sql(terms_main),
         "bm25_batch": "\nUNION ALL\n".join(
