@@ -616,6 +616,20 @@ def q_media_decode(spark, sf_dir):
         "media_id", "kind", "width", "height", "nsfw_score", "ok")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling fan-out (UDTF-shaped mapInPandas): one row per
+    sampled frame; decode is a deterministic stub, plumbing is real."""
+    from jivesearch_spark.tdp import multimodal
+    payloads = [
+        (i, (b"\x89PNG\r\n\x1a\n" if i % 3 == 0 else
+             b"\x1aE\xdf\xa3" if i % 3 == 1 else b"ID3") + bytes([i % 251]) * 32)
+        for i in range(30)
+    ]
+    media = spark.createDataFrame(payloads, "media_id long, payload binary")
+    return (multimodal.sample_frames(media, every_n=8, max_frames=4)
+            .select("media_id", "frame_idx", "ts_ms", "ok"))
+
+
 def q_extract_pages(spark, sf_dir):
     """Extractor smoke over the synthetic pages corpus (the input_hint
     pipeline; byte-identity is gated in pytest, this checks the Spark
@@ -687,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "media_decode": q_media_decode,
+        "frame_sample": q_frame_sample,
         "extract_pages": q_extract_pages,
     }
 

@@ -99,6 +99,85 @@ def decode_media(media: DataFrame, id_col: str = "media_id",
     return src.mapInPandas(_decode, schema=MEDIA_SCHEMA)
 
 
+RESIZED_SCHEMA = ("media_id long, kind string, width int, height int, "
+                  "payload binary, ok boolean")
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int,
+                 id_col: str = "media_id",
+                 payload_col: str = "payload") -> DataFrame:
+    """STUB resize to (target_w, target_h): deterministic pseudo-pixel
+    buffer of exactly target_w*target_h bytes derived from the payload
+    digest (real impl: PIL Image.open → resize → tobytes; one-function
+    swap). Narrow Arrow map — output batch memory is bounded by
+    maxRecordsPerBatch × target buffer size regardless of input payload
+    sizes, which is what makes this safe on mixed-size crawl data."""
+    import pandas as pd
+
+    ensure_shipped(media.sparkSession)
+    n_out = target_w * target_h
+
+    def _resize(batch_iter):
+        for pdf in batch_iter:
+            rows = []
+            for mid, data in zip(pdf["id"], pdf["payload"]):
+                data = bytes(data) if data is not None else b""
+                kind = sniff_kind(data)
+                if kind in ("unknown", "application/octet-stream"):
+                    rows.append((mid, kind, None, None, None, False))
+                    continue
+                seed = hashlib.sha256(data).digest()
+                buf = (seed * (n_out // len(seed) + 1))[:n_out]
+                rows.append((mid, kind, target_w, target_h, buf, True))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "width", "height", "payload", "ok"])
+
+    src = media.select(F.col(id_col).alias("id"),
+                       F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = ("media_id long, frame_idx int, ts_ms int, "
+                "frame binary, ok boolean")
+
+
+def sample_frames(media: DataFrame, every_n: int = 8,
+                  max_frames: int | None = None, id_col: str = "media_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Frame sampling (UDTF-shaped: one input row fans out to one row
+    per sampled frame). Frame count comes from the stub decode
+    (images = 1 frame, audio/video = 1 + digest-derived count); each
+    sampled frame is a deterministic 32-byte stub (real impl: av /
+    ffmpeg seek + decode). ts_ms assumes 25 fps. mapInPandas keeps the
+    fan-out Arrow-batched; cap the blow-up with ``max_frames``."""
+    import pandas as pd
+
+    ensure_shipped(media.sparkSession)
+
+    def _sample(batch_iter):
+        for pdf in batch_iter:
+            rows = []
+            for mid, data in zip(pdf["id"], pdf["payload"]):
+                data = bytes(data) if data is not None else b""
+                kind, dec = _stub_decode(data)
+                if dec is None:
+                    rows.append((mid, None, None, None, False))
+                    continue
+                n_frames = dec[2]
+                idxs = list(range(0, n_frames, every_n))
+                if max_frames is not None:
+                    idxs = idxs[:max_frames]
+                for i in idxs:
+                    frame = hashlib.sha256(data + i.to_bytes(4, "big")).digest()
+                    rows.append((mid, i, i * 40, frame, True))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "ts_ms", "frame", "ok"])
+
+    src = media.select(F.col(id_col).alias("id"),
+                       F.col(payload_col).alias("payload"))
+    return src.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
 def safe_filter(decoded: DataFrame, threshold: float = 0.5, safe: bool = True) -> DataFrame:
     """Reference safe-search predicate (image/elasticsearch.go:26-58):
     safe ⇒ nsfw_score < threshold, unsafe ⇒ ≥ threshold."""

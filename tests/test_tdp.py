@@ -182,3 +182,43 @@ def test_multimodal_stub_plumbing(spark):
     dec = multimodal.decode_media(media)
     safe = multimodal.safe_filter(dec, threshold=1.1, safe=True)
     assert safe.count() == 4
+
+
+@pytest.mark.spark
+def test_multimodal_resize_and_frame_sample(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"x" * 64),       # image → 1 frame
+        (2, b"\x1aE\xdf\xa3" + b"webmpayload" * 8),  # video → many frames
+        (3, b"not-media"),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    rs = {r.media_id: r for r in
+          multimodal.resize_media(media, 16, 12).collect()}
+    assert rs[1].ok and rs[1].width == 16 and rs[1].height == 12
+    assert len(bytes(rs[1].payload)) == 16 * 12
+    assert not rs[3].ok and rs[3].payload is None and not rs[4].ok
+    # deterministic: same payload → same buffer
+    rs2 = {r.media_id: r for r in
+           multimodal.resize_media(media, 16, 12).collect()}
+    assert bytes(rs2[2].payload) == bytes(rs[2].payload)
+
+    fr = multimodal.sample_frames(media, every_n=4).collect()
+    by_id = {}
+    for r in fr:
+        by_id.setdefault(r.media_id, []).append(r)
+    # image: exactly its single frame at idx 0
+    assert [f.frame_idx for f in by_id[1]] == [0]
+    # video: stride-4 sampling over the stub frame count, 25fps ts
+    _, dec = multimodal._stub_decode(rows[1][1])
+    n_frames = dec[2]
+    idxs = sorted(f.frame_idx for f in by_id[2])
+    assert idxs == list(range(0, n_frames, 4))
+    assert all(f.ts_ms == f.frame_idx * 40 for f in by_id[2])
+    assert all(len(bytes(f.frame)) == 32 for f in by_id[2])
+    # undecodable rows surface as single ok=False rows
+    assert len(by_id[3]) == 1 and not by_id[3][0].ok
+    # fan-out cap
+    capped = multimodal.sample_frames(media, every_n=1, max_frames=3)
+    assert capped.where("media_id = 2").count() == min(n_frames, 3)
