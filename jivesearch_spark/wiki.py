@@ -196,3 +196,72 @@ def disambiguation(t: WikiTables, k: int = 10) -> DataFrame:
             .where(F.col("rk") <= k)
             .select("src_id", "target_id", "target_title",
                     "popularity_score", "rk"))
+
+
+# ---------------------------------------------------------------------------
+# S5 — cirrus / wikidata dump scan (dump.go:107-205)
+# ---------------------------------------------------------------------------
+
+#: per-type row schemas, mirroring the reference's unmarshal targets
+#: (wikipedia.go:27-34, wikiquote.go:14-19, wiktionary.go:12-19,
+#: wikidata.go:11-16 labels/aliases/descriptions; the claims P-code
+#: projection of wikidata.go:146-168 is modeled by synth_wiki_tables'
+#: claims array downstream).
+CIRRUS_SCHEMAS = {
+    "wikipedia": ("wikibase_item string, language string, "
+                  "outgoing_link array<string>, popularity_score double, "
+                  "title string, text string"),
+    "wikiquote": ("wikibase_item string, language string, "
+                  "source_text string, quotes array<string>"),
+    "wiktionary": ("title string, language string, source_text string, "
+                   "definitions array<struct<part:string, meaning:string, "
+                   "synonyms:array<string>>>"),
+    "wikidata": ("id string, "
+                 "labels map<string, struct<language:string, value:string>>, "
+                 "aliases map<string, array<struct<language:string, value:string>>>, "
+                 "descriptions map<string, struct<language:string, value:string>>"),
+}
+
+
+def read_cirrus_dump(spark, path: str, kind: str = "wikipedia",
+                     truncate: int = -1) -> DataFrame:
+    """Line-delimited cirrus/wikidata dump scan as a DataFrame plan.
+
+    The reference scans one file sequentially (dump.go:107-205); here
+    ``spark.read.text`` handles `.gz`/`.bz2` natively (one task per
+    compressed file — the same per-file boundary) and the line
+    semantics are declarative, so a directory of dump files fans out
+    across executors:
+
+    - strip ONE trailing comma (wikidata array format, dump.go:144)
+    - drop ``[`` / ``]`` wrapper lines (dump.go:145-147)
+    - drop ``{"index":{...}}`` action lines (dump.go:151-165)
+    - ``from_json`` with the per-type schema (malformed lines → null
+      columns rather than aborting the scan)
+    - wikipedia text runs the reference cleanup chain (strip
+      parentheticals, drop NBSP, word-preserving truncate;
+      wikipedia.go:41-64) via ``functions.wiki_clean_text``
+
+    Real dumps contain duplicate ids and rows without a
+    ``wikibase_item`` (dump.go:174-176 note) — callers filter/dedup,
+    e.g. ``.where("id <> ''").dropDuplicates(["id"])``.
+    """
+    from .functions import wiki_clean_text
+
+    schema = CIRRUS_SCHEMAS[kind]
+    lines = spark.read.text(path).select(F.col("value").alias("line"))
+    lines = lines.select(
+        F.when(F.col("line").endswith(","),
+               F.expr("substring(line, 1, length(line) - 1)"))
+        .otherwise(F.col("line")).alias("line"))
+    lines = lines.where((F.length("line") > 0)
+                        & ~F.col("line").isin("[", "]")
+                        & F.get_json_object("line", "$.index._id").isNull())
+    parsed = (lines.select(F.from_json("line", schema).alias("doc"))
+              .select("doc.*"))
+    if kind in ("wikipedia", "wikiquote"):
+        parsed = parsed.withColumnRenamed("wikibase_item", "id")
+    if kind == "wikipedia":
+        parsed = parsed.withColumn(
+            "text", wiki_clean_text(F.col("text"), truncate))
+    return parsed

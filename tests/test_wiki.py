@@ -100,3 +100,56 @@ SELECT * FROM (
          row_number() OVER (PARTITION BY src_id
                             ORDER BY popularity_score DESC, target_id) AS rk
   FROM hits) WHERE rk <= 10"""))
+
+
+@pytest.mark.spark
+def test_read_cirrus_dump(spark, tmp_path):
+    """S5 scan semantics (dump.go:107-205): index-action lines and
+    array wrapper lines skipped, trailing commas stripped, per-type
+    JSON parsed, wikipedia text run through the reference cleanup."""
+    import gzip
+    import json
+
+    from jivesearch_spark import wiki
+
+    wiki_lines = [
+        '{"index":{"_type":"page","_id":"17949905"}}',
+        json.dumps({"wikibase_item": "Q42", "language": "en",
+                    "title": "Douglas Adams",
+                    "text": "Douglas Adams (born 1952) wrote books. "
+                            "A very long sentence follows here for cut.",
+                    "outgoing_link": ["a", "b"], "popularity_score": 0.5}),
+        '{"index":{"_type":"page","_id":"2"}}',
+        json.dumps({"wikibase_item": "", "language": "en", "title": "NoItem",
+                    "text": "short."}),
+    ]
+    p = tmp_path / "enwiki-20260101-cirrussearch-content.json.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("\n".join(wiki_lines) + "\n")
+
+    out = {r.title: r for r in
+           wiki.read_cirrus_dump(spark, str(p), "wikipedia",
+                                 truncate=60).collect()}
+    assert set(out) == {"Douglas Adams", "NoItem"}
+    da = out["Douglas Adams"]
+    assert da.id == "Q42" and da.outgoing_link == ["a", "b"]
+    # parens stripped, NBSP dropped, word-preserving cut + " ..."
+    assert "(born 1952)" not in da.text and " " not in da.text
+    assert da.text.endswith(" ...") and len(da.text) <= 64
+    assert out["NoItem"].text == "short."
+
+    # wikidata array format: [ ... ] wrapper + trailing commas
+    wd_lines = ["[",
+                json.dumps({"id": "Q1", "labels": {"en": {"language": "en",
+                            "value": "universe"}}}) + ",",
+                json.dumps({"id": "Q2", "descriptions": {"en": {
+                            "language": "en", "value": "planet"}}}) + ",",
+                "]"]
+    p2 = tmp_path / "latest-all.json.gz"
+    with gzip.open(p2, "wt", encoding="utf-8") as f:
+        f.write("\n".join(wd_lines) + "\n")
+    wd = {r.id: r for r in
+          wiki.read_cirrus_dump(spark, str(p2), "wikidata").collect()}
+    assert set(wd) == {"Q1", "Q2"}
+    assert wd["Q1"].labels["en"].value == "universe"
+    assert wd["Q2"].descriptions["en"].value == "planet"
