@@ -471,6 +471,12 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir)).select("id", "fingerprint")
 
 
+#: calculator replay: integer-friendly expressions whose float repr is
+#: identical between json.dumps and DuckDB varchar casts; `^` is the
+#: power operator on both sides (govaluate-style, calculator.go:55-94)
+CALC_QUERIES = ["12 * (3 + 2)", "2 ^ 5 - 1", "100 / 8"]
+
+
 def q_instant_answers(spark, sf_dir):
     """Instant-answer registry (SURVEY.md §2.10; frontend/answer.go
     dispatch) replayed over a deterministic query log derived from the
@@ -489,7 +495,9 @@ def q_instant_answers(spark, sf_dir):
         F.concat(F.lit("reverse "), F.col("term")),
         F.concat(F.lit("char count "), F.col("term")),
     )).alias("query"))
-    return answer_queries(qs).select("query", "answer_type", "solution")
+    calc = spark.createDataFrame([(q,) for q in CALC_QUERIES], "query string")
+    return (answer_queries(qs.unionByName(calc))
+            .select("query", "answer_type", "solution"))
 
 
 def q_suggest_store(spark, sf_dir):
@@ -1048,7 +1056,14 @@ UNION ALL
 SELECT 'reverse ' || term, 'reverse', '"' || reverse(term) || '"' FROM top
 UNION ALL
 SELECT 'char count ' || term, 'characters',
-       '"' || CAST(length(term) AS VARCHAR) || '"' FROM top""",
+       '"' || CAST(length(term) AS VARCHAR) || '"' FROM top
+UNION ALL
+SELECT '12 * (3 + 2)', 'calculator',
+       CAST(CAST(12 * (3 + 2) AS DOUBLE) AS VARCHAR)
+UNION ALL
+SELECT '2 ^ 5 - 1', 'calculator', CAST(CAST(2 ^ 5 - 1 AS DOUBLE) AS VARCHAR)
+UNION ALL
+SELECT '100 / 8', 'calculator', CAST(100 / 8 AS VARCHAR)""",
         "ann_cosine_topk": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,
