@@ -265,3 +265,73 @@ def read_cirrus_dump(spark, path: str, kind: str = "wikipedia",
         parsed = parsed.withColumn(
             "text", wiki_clean_text(F.col("text"), truncate))
     return parsed
+
+
+# ---------------------------------------------------------------------------
+# S6 — dump-link discovery (dump.go:207-209, 216-305)
+# ---------------------------------------------------------------------------
+
+#: filename shapes of cirrus content dumps (dump.go:207-209)
+_CIRRUS_RE = {
+    "wikipedia": r"^([a-z_]+)wiki-\d{8}-cirrussearch-content.json.gz$",
+    "wikiquote": r"^([a-z_]+)wikiquote-\d{8}-cirrussearch-content.json.gz$",
+    "wiktionary": r"^([a-z_]+)wiktionary-\d{8}-cirrussearch-content.json.gz$",
+}
+
+#: project prefixes that look like language codes but aren't wikis we
+#: ever ingest (dump.go:285-291)
+_SKIP_PREFIXES = {
+    "advisory", "be_x_old", "commons", "donate", "fixcopyright",
+    "foundation", "incubator", "labs", "labtest", "login", "mediawiki",
+    "meta", "nostalgia", "outreach", "quality", "species", "simple",
+    "sources", "strategy", "test", "testwikidata", "usability", "vote",
+    "wikidata", "atj", "eml", "roa_tara", "ten", "zh_classical",
+    "wikimania",
+}
+
+
+def discover_cirrus_files(html_index: str,
+                          file_types=("wikipedia", "wikiquote", "wiktionary"),
+                          supported: set[str] | None = None) -> list[dict]:
+    """Classify dump-index ``<a href>`` entries into ingestable files.
+
+    The reference scrapes dumps.wikimedia.org's directory page and
+    regex-matches filenames, skipping non-language project prefixes and
+    unsupported languages (dump.go:216-305). Driver-side pure Python —
+    the listing is one small page; the resulting file list is what
+    ``read_cirrus_dump`` fans out over executors. No network here:
+    callers pass the fetched page (or a fixture).
+
+    Returns dicts ``{href, type, lang}``; ``lang`` is the filename
+    prefix with ``_`` → ``-`` (BCP-47-ish, e.g. ``zh_min_nan`` →
+    ``zh-min-nan``).
+    """
+    import re
+    from html.parser import HTMLParser
+
+    hrefs: list[str] = []
+
+    class _A(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                for k, v in attrs:
+                    if k == "href" and v:
+                        hrefs.append(v)
+
+    _A().feed(html_index)
+
+    out = []
+    for href in hrefs:
+        base = href.rsplit("/", 1)[-1]
+        for ft in file_types:
+            m = re.match(_CIRRUS_RE[ft], base)
+            if not m:
+                continue
+            prefix = m.group(1)
+            if prefix in _SKIP_PREFIXES:
+                continue
+            lang = prefix.replace("_", "-")
+            if supported is not None and lang not in supported:
+                continue
+            out.append({"href": href, "type": ft, "lang": lang})
+    return out

@@ -153,3 +153,32 @@ def test_read_cirrus_dump(spark, tmp_path):
     assert set(wd) == {"Q1", "Q2"}
     assert wd["Q1"].labels["en"].value == "universe"
     assert wd["Q2"].descriptions["en"].value == "planet"
+
+
+def test_discover_cirrus_files():
+    """S6 filename classification (dump.go:207-209, 280-305)."""
+    from jivesearch_spark import wiki
+
+    page = """
+    <html><body><pre>
+    <a href="enwiki-20260101-cirrussearch-content.json.gz">x</a>
+    <a href="frwiki-20260101-cirrussearch-content.json.gz">x</a>
+    <a href="enwikiquote-20260101-cirrussearch-content.json.gz">x</a>
+    <a href="dewiktionary-20260101-cirrussearch-content.json.gz">x</a>
+    <a href="zh_min_nanwiki-20260101-cirrussearch-content.json.gz">x</a>
+    <a href="commonswiki-20260101-cirrussearch-content.json.gz">x</a>
+    <a href="testwikidatawiki-20260101-cirrussearch-content.json.gz">x</a>
+    <a href="enwiki-20260101-cirrussearch-general.json.gz">x</a>
+    <a href="../somewhere/else.html">x</a>
+    </pre></body></html>"""
+
+    files = wiki.discover_cirrus_files(page)
+    got = {(f["type"], f["lang"]) for f in files}
+    # commons/testwikidata skipped; -general and non-dump hrefs ignored
+    assert got == {("wikipedia", "en"), ("wikipedia", "fr"),
+                   ("wikipedia", "zh-min-nan"),
+                   ("wikiquote", "en"), ("wiktionary", "de")}
+
+    only_en = wiki.discover_cirrus_files(page, supported={"en"})
+    assert {(f["type"], f["lang"]) for f in only_en} == {
+        ("wikipedia", "en"), ("wikiquote", "en")}
