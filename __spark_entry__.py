@@ -87,6 +87,52 @@ def q_bm25_fielded(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+_FIELDED_IDX_CACHE: dict[str, str] = {}
+
+
+def q_bm25_fielded_indexed(spark, sf_dir):
+    """The compressed fielded-index path (per-field posting lists +
+    cross-field kernel, fielded.py) against the SAME SQL oracle as the
+    brute-force SERP scorer — codec, per-field stats, and the
+    cross-field MSM kernel all have to agree with DuckDB."""
+    from jivesearch_spark.fielded import (FieldedReader, bm25_fielded_indexed,
+                                          build_fielded_index)
+    from jivesearch_spark.index import IndexParams
+
+    root = _FIELDED_IDX_CACHE.get(sf_dir)
+    if root is None:
+        import hashlib
+        h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        root = f"/tmp/jivesearch_fielded_{h}"
+        if not os.path.exists(os.path.join(root, "fielded.json")):
+            d = _docs(spark, sf_dir)
+            tk = analyze.tokens(F.col("text"))
+            fielded = d.select(
+                "doc_id",
+                F.col("source").alias("domain"),
+                F.concat_ws(" ", F.slice(tk, 4, 6)).alias("path_parts"),
+                F.concat_ws(" ", F.slice(tk, 1, 6)).alias("title"),
+                F.concat_ws(" ", F.slice(tk, 7, 24)).alias("description"),
+            ).where(F.col("doc_id") % 13 != 0)
+            # url = zero-padded doc_id so url-rank docids preserve the
+            # doc_id tie-break ordering of the oracle
+            fielded = (fielded
+                       .withColumn("url", F.format_string("https://d/%012d",
+                                                          F.col("doc_id")))
+                       .withColumn("tld", F.lit(None).cast("string")))
+            build_fielded_index(
+                fielded, root,
+                IndexParams(docs_per_shard=2000, n_buckets=8, bucket_batch=8),
+                log=lambda *a: None)
+        _FIELDED_IDX_CACHE[sf_dir] = root
+
+    reader = FieldedReader(spark, root)
+    out = bm25_fielded_indexed(reader, QUERY_MAIN, k=10)
+    return out.select(
+        F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"))
+
+
 def _fielded_sql() -> str:
     """DuckDB replay of q_bm25_fielded: same derived fields, same
     per-field stats, same arithmetic shape as the single-field oracle
@@ -663,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_msm": q_bm25_msm,
         "bm25_fielded": q_bm25_fielded,
+        "bm25_fielded_indexed": q_bm25_fielded_indexed,
         "bm25_indexed": q_bm25_indexed,
         "bm25_served": q_bm25_served,
         "bm25_batch": q_bm25_batch,
@@ -801,6 +848,7 @@ ORDER BY round(raw, 9) DESC, doc_id LIMIT 10"""
         "bm25_topk": bm25_sql(terms_main),
         "bm25_msm": bm25_sql(terms_msm, msm_req),
         "bm25_fielded": _fielded_sql(),
+        "bm25_fielded_indexed": _fielded_sql(),
         "bm25_indexed": bm25_sql(terms_main),
         "bm25_served": bm25_sql(terms_main),
         "bm25_batch": "\nUNION ALL\n".join(

@@ -136,11 +136,19 @@ class FieldedReader:
         self.man: dict[str, Manifest] = {}
         self.postings: dict[str, DataFrame] = {}
         self.stats: dict[str, DataFrame] = {}
+        from .index import POSTINGS_SCHEMA, TERM_STATS_SCHEMA
         for name in list(self.fields) + [TLD_FIELD]:
             d = os.path.join(root, "fields", name)
             self.man[name] = Manifest.load(d)
-            self.postings[name] = spark.read.parquet(f"{d}/postings")
-            self.stats[name] = spark.read.parquet(f"{d}/term_stats")
+            # a field can legitimately index zero tokens (e.g. an
+            # all-null tld column) — stage 2 then writes no postings
+            # dir at all; substitute an empty frame with the schema
+            p = f"{d}/postings"
+            self.postings[name] = (spark.read.schema(POSTINGS_SCHEMA).parquet(p)
+                                   if os.path.isdir(p)
+                                   else spark.createDataFrame([], POSTINGS_SCHEMA))
+            self.stats[name] = spark.read.schema(
+                TERM_STATS_SCHEMA).parquet(f"{d}/term_stats")
         self.n_buckets = self.man[TLD_FIELD].params["n_buckets"]
         self.doc_meta = spark.read.parquet(f"{root}/doc_meta")
         self._df_cache: dict[tuple[str, str], int] = {}
@@ -320,8 +328,18 @@ class FieldedLocalIndex:
         for name in list(self.fields) + [TLD_FIELD]:
             d = os.path.join(root, "fields", name)
             self.man[name] = Manifest.load(d)
-            self._post[name] = ds.dataset(f"{d}/postings", partitioning=part)
-            self._stats[name] = ds.dataset(f"{d}/term_stats", partitioning=part)
+            # zero-posting field (e.g. all-null tld) writes no postings
+            # dir; _query_plan never selects such a field (df=0), so a
+            # None dataset is never dereferenced
+            p = f"{d}/postings"
+            self._post[name] = (ds.dataset(p, partitioning=part)
+                                if os.path.isdir(p) else None)
+            s = f"{d}/term_stats"
+            has_stats = os.path.isdir(s) and any(
+                fn.endswith(".parquet")
+                for _, _, fns in os.walk(s) for fn in fns)
+            self._stats[name] = (ds.dataset(s, partitioning=part)
+                                 if has_stats else None)
         self.n_buckets = self.man[TLD_FIELD].params["n_buckets"]
         self._urls = None
         self._df_cache: dict[tuple[str, str], int] = {}
@@ -330,11 +348,16 @@ class FieldedLocalIndex:
         import pyarrow.dataset as ds
         missing = [t for t in terms if (field, t) not in self._df_cache]
         if missing:
-            bks = sorted({term_bucket(t, self.n_buckets) for t in missing})
-            flt = ds.field("bucket").isin(bks) & ds.field("term").isin(missing)
-            tbl = self._stats[field].to_table(filter=flt,
-                                              columns=["term", "df"])
-            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            if self._stats[field] is None:       # zero-token field
+                found = {}
+            else:
+                bks = sorted({term_bucket(t, self.n_buckets) for t in missing})
+                flt = (ds.field("bucket").isin(bks)
+                       & ds.field("term").isin(missing))
+                tbl = self._stats[field].to_table(filter=flt,
+                                                  columns=["term", "df"])
+                found = dict(zip(tbl["term"].to_pylist(),
+                                 tbl["df"].to_pylist()))
             for t in missing:
                 self._df_cache[(field, t)] = int(found.get(t, 0))
         return {t: self._df_cache[(field, t)] for t in terms

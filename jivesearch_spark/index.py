@@ -51,6 +51,15 @@ from .session import ensure_shipped
 
 MANIFEST = "manifest.json"
 
+#: on-disk row schemas (readers pass these explicitly so a
+#: legitimately empty table — e.g. a zero-token field sub-index —
+#: reads as an empty frame instead of failing schema inference)
+POSTINGS_SCHEMA = (
+    "bucket int, term string, shard int, block_id int, first_docid long, "
+    "last_docid long, n_docs int, max_score_ub double, "
+    "deltas binary, tfs binary, dls binary")
+TERM_STATS_SCHEMA = "term string, df long, cf long, bucket int"
+
 
 @dataclass
 class IndexParams:
@@ -310,11 +319,6 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     n_docs, avgdl = man.n_docs, man.avgdl
     k1, b, dps = params.k1, params.b, params.docs_per_shard
 
-    POSTINGS_SCHEMA = (
-        "bucket int, term string, shard int, block_id int, first_docid long, "
-        "last_docid long, n_docs int, max_score_ub double, "
-        "deltas binary, tfs binary, dls binary")
-
     def _encode_groups(pdf):
         """Encode all complete (term, shard) groups in a sorted frame.
 
@@ -373,7 +377,7 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         if carry is not None and len(carry):
             yield _encode_groups(carry)
 
-    stats = spark.read.parquet(stats_path)
+    stats = spark.read.schema(TERM_STATS_SCHEMA).parquet(stats_path)
     if tf_live is not None:
         tf_source = tf_live
     elif os.path.exists(tf_path):
