@@ -229,6 +229,11 @@ def main():
     results[f"build_sec_c{high}"] = round(t_high, 2)
     results[f"build_docs_per_sec_c{high}"] = round(N_DOCS / t_high, 1)
     results["scaling_efficiency"] = round(median(ratios), 3)
+    # the host's minute-to-minute drift swings single pairs by ±0.1+
+    # (BENCH/BASELINE.md variance notes) — publish the spread so one
+    # number is never read as the whole story
+    results["scaling_efficiency_best"] = round(max(ratios), 3)
+    results["scaling_efficiency_pairs"] = [round(r, 3) for r in ratios]
     results["cpu_ceiling_efficiency"] = round(median(ceils), 3)
     # a real 4N-executor cluster adds silicon; this VM shares it. The
     # ceiling-normalized number separates pipeline scalability from
