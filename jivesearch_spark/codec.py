@@ -49,10 +49,19 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:
-    """Decode ``count`` LEB128 values from ``buf`` (vectorized)."""
+    """Decode ``count`` LEB128 values from ``buf`` (vectorized).
+
+    Fast paths for the common shapes in posting data: all-1-byte
+    streams (tfs, small deltas) decode with a single cast, and the
+    multi-byte loop gathers only the still-active values per level
+    instead of materializing a (count × max_len) matrix — the decode
+    is the serving hot path (one call per posting stream per query).
+    """
     if count == 0:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) == count:        # every value < 128: bytes ARE the values
+        return raw.astype(np.uint64)
     is_end = (raw & 0x80) == 0
     ends = np.flatnonzero(is_end)[:count]
     starts = np.empty(count, dtype=np.int64)
@@ -60,12 +69,17 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
     starts[1:] = ends[:-1] + 1
     lengths = ends - starts + 1
     k = int(lengths.max())
-    out = np.zeros(count, dtype=np.uint64)
-    pos = np.minimum(starts[:, None] + np.arange(k)[None, :], len(raw) - 1)
-    chunk = raw[pos].astype(np.uint64) & np.uint64(0x7F)
-    valid = np.arange(k)[None, :] < lengths[:, None]
-    for j in range(k):
-        out |= np.where(valid[:, j], chunk[:, j] << np.uint64(7 * j), np.uint64(0))
+    out = (raw[starts] & np.uint64(0x7F)).astype(np.uint64)
+    active = np.flatnonzero(lengths > 1)
+    idx = starts[active]
+    for j in range(1, k):
+        idx = idx + 1
+        out[active] |= ((raw[idx] & np.uint64(0x7F)).astype(np.uint64)
+                        << np.uint64(7 * j))
+        if j + 1 < k:
+            still = lengths[active] > j + 1
+            active = active[still]
+            idx = idx[still]
     return out
 
 

@@ -125,7 +125,13 @@ def _decode_term_arrays(pdf, idf: dict, k1: float, b: float,
     precomputed BM25 contributions (idf is per-term, so the arrays are
     shared by every query touching the term)."""
     terms = {}
-    pdf = pdf.sort_values(["term", "block_id"], kind="mergesort")
+    # shard ranges partition the docid space in shard order, so sorting
+    # (term, shard, block_id) yields globally docid-sorted postings —
+    # the same code path serves one shard (Spark kernel) or the whole
+    # index (serving tier)
+    keys = (["term", "shard", "block_id"] if "shard" in pdf.columns
+            else ["term", "block_id"])
+    pdf = pdf.sort_values(keys, kind="mergesort")
     for term, g in pdf.groupby("term", sort=True):
         ubs = g["max_score_ub"].values
         firsts = g["first_docid"].values

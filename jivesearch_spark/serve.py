@@ -26,12 +26,10 @@ path (`query.bm25_topk_indexed`) remains the batch/analytics flavor.
 
 from __future__ import annotations
 
-import numpy as np
-
 from . import bm25
 from .hashing import term_bucket
 from .index import Manifest
-from .query import _score_shard_np, analyze_query
+from .query import _decode_term_arrays, _topk_from_terms, analyze_query
 
 _POSTING_COLS = ["term", "shard", "block_id", "first_docid", "last_docid",
                  "n_docs", "max_score_ub", "deltas", "tfs", "dls"]
@@ -53,6 +51,16 @@ class LocalIndex:
         self._postings = ds.dataset(f"{root}/postings", partitioning=part)
         self._stats = ds.dataset(f"{root}/term_stats", partitioning=part)
         self._df_cache: dict[str, int] = {}
+        # decoded posting-list LRU (the serving analog of the
+        # reference's result cache, frontend/search.go:439-453 — ours
+        # caches the expensive artifact, decoded term arrays, which is
+        # score-exact rather than TTL-stale). Bounded by total cached
+        # postings; head terms dominate query logs, so hot queries skip
+        # read+decode entirely.
+        from collections import OrderedDict
+        self._term_cache: OrderedDict[str, dict] = OrderedDict()
+        self._cached_postings = 0
+        self.term_cache_max_postings = 16_000_000
 
     # -- lookups ----------------------------------------------------------
     def buckets_of(self, terms: list[str]) -> list[int]:
@@ -96,30 +104,46 @@ class LocalIndex:
             return {q: [] for q in queries}
         dfs = self.stats_for(all_terms)
         live = [t for t in all_terms if t in dfs]
-        pdf = self._blocks_for(live) if live else None
         n_docs, avgdl = self.man.n_docs, self.man.avgdl
+
+        # decode each term ONCE for the whole batch and the whole index
+        # (shard ranges partition the docid space, so the concatenated
+        # per-term arrays are globally docid-sorted) — no per-shard or
+        # per-query re-decode; the kernel then computes the GLOBAL
+        # top-k directly, which also gives WAND a global θ (strictly
+        # more pruning than the per-shard θ, still score-neutral).
+        # Cache hits skip the pruned read + decode altogether.
+        missing = [t for t in live if t not in self._term_cache]
+        if missing:
+            pdf = self._blocks_for(missing)
+            if len(pdf):
+                idf_m = {t: bm25.idf(n_docs, dfs[t]) for t in missing}
+                for t, a in _decode_term_arrays(
+                        pdf, idf_m, self.k1, self.b, avgdl).items():
+                    self._term_cache[t] = a
+                    self._cached_postings += int(a["docids"].size)
+        arrays = {}
+        for t in live:
+            a = self._term_cache.get(t)
+            if a is not None:
+                self._term_cache.move_to_end(t)
+                arrays[t] = a
+        while (self._cached_postings > self.term_cache_max_postings
+               and len(self._term_cache) > len(live)):
+            _, old = self._term_cache.popitem(last=False)
+            self._cached_postings -= int(old["docids"].size)
+        if not arrays:
+            return {q: [] for q in queries}
 
         out = {}
         for q in queries:
             q_terms = analyzed[q]
-            present = [t for t in q_terms if t in dfs]
-            if not present or pdf is None or not len(pdf):
+            present = [t for t in q_terms if t in dfs and t in arrays]
+            if not present:
                 out[q] = []
                 continue
-            idf = {t: bm25.idf(n_docs, dfs[t]) for t in present}
             req = bm25.msm_required(len(q_terms)) if min_should_match else 0
-            sub = pdf[pdf["term"].isin(present)]
-            docs_all, scores_all = [], []
-            for _, g in sub.groupby("shard", sort=True):
-                d, s = _score_shard_np(g, idf, self.k1, self.b, avgdl,
-                                       k, req, use_wand)
-                docs_all.append(d)
-                scores_all.append(s)
-            if not docs_all:
-                out[q] = []
-                continue
-            docids = np.concatenate(docs_all)
-            scores = np.concatenate(scores_all)
-            idx = np.lexsort((docids, -np.round(scores, 9)))[:k]
-            out[q] = [(int(docids[i]), float(scores[i])) for i in idx]
+            d, s = _topk_from_terms({t: arrays[t] for t in present},
+                                    k, req, use_wand)
+            out[q] = [(int(di), float(si)) for di, si in zip(d, s)]
         return out
