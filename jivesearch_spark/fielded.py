@@ -406,15 +406,12 @@ class FieldedLocalIndex:
         pdf = pd.concat(parts, ignore_index=True)
         if not len(pdf):
             return []
-        docs_all, scores_all = [], []
-        for _, g in pdf.groupby("shard", sort=True):
-            d, s = _score_fielded(g, plan, k1, b, k, req)
-            docs_all.append(d)
-            scores_all.append(s)
-        docids = np.concatenate(docs_all)
-        scores = np.concatenate(scores_all)
+        # one global kernel call: _decode_term_arrays orders blocks by
+        # (term, shard, block_id), so per-(field, term) arrays stay
+        # globally docid-sorted across shards — no per-shard loop, no
+        # top-k merge (same result set, gated rank-identical)
+        docids, scores = _score_fielded(pdf, plan, k1, b, k, req)
         if not docids.size:
             return []
-        idx = np.lexsort((docids, -np.round(scores, 9)))[:k]
-        urls = self._url_of(docids[idx])
-        return [(urls[int(docids[i])], float(scores[i])) for i in idx]
+        urls = self._url_of(docids)
+        return [(urls[int(d)], float(s)) for d, s in zip(docids, scores)]
