@@ -6,15 +6,20 @@ walking parent tags (``:28-41``: ``pt-BR``→brazilian, ``en-US``→
 english, unknown subtags fall back to the parent).  Analysis =
 tokenize → stopword filter → stem.
 
-Pinned here as profile "lang-v1": the pipeline below (standard-ascii
-tokenizer from analyze.py → per-language stopword set → stemmer) IS
-the spec — applied identically to documents and queries (driver-side
-Python and the Arrow-batched Spark UDF share one code path), which is
-what rank-identity requires.  English uses the full classic Porter
-(1980) algorithm; other Latin-script languages use documented light
-suffix-strippers; CJK mirrors ES's ``cjk`` analyzer (character
-bigrams).  The default "standard" profile in analyze.py remains the
-v1 scorer's analyzer; lang-v1 is the opt-in fielded profile.
+Pinned here as profile "lang-v1": the pipeline below (Unicode word
+tokenizer → per-language stopword set → stemmer) IS the spec —
+applied identically to documents and queries (driver-side Python and
+the Arrow-batched Spark UDF share one code path), which is what
+rank-identity requires.  Tokenization is Unicode-aware (``[^\W_]+``,
+mirroring Lucene's StandardTokenizer word runs) so Cyrillic / Greek /
+Arabic / Indic scripts tokenize properly; English uses the full
+classic Porter (1980) algorithm; the other reference analyzers use
+documented light suffix-strippers (plus the Arabic definite-article
+prefix strip); CJK mirrors ES's ``cjk`` analyzer (character bigrams)
+and Thai — segmented by ICU in ES, unavailable here — is pinned as
+the same run-bigram scheme over the Thai block.  The default
+"standard" profile in analyze.py remains the v1 scorer's analyzer
+(ASCII, DuckDB-replayable); lang-v1 is the opt-in fielded profile.
 
 Per the input-hint, the Spark path is a vectorized Arrow pandas UDF
 (mapInArrow-style batches; the per-token dict/regex work is Python but
@@ -29,8 +34,6 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
-
-from .analyze import _PY_DELIM
 
 # ---------------------------------------------------------------------------
 # lang → analyzer resolution (document/elasticsearch.go:205-289, 28-41)
@@ -217,6 +220,33 @@ STOP_PT = frozenset("o a os as de que e do da em um uma para com não por se"
 
 _IDENT = lambda w: w  # noqa: E731
 
+#: Unicode word tokenizer (letters+digits runs, underscore excluded) —
+#: the lang-v1 analog of Lucene's StandardTokenizer
+_UNI_TOKEN = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+def _ar_stem(w: str) -> str:
+    """Arabic light: strip one definite-article prefix, then one
+    common suffix (the shape of Lucene's ArabicStemmer)."""
+    for p in ("وال", "بال", "كال", "فال", "لل", "ال"):
+        if w.startswith(p) and len(w) - len(p) >= 2:
+            w = w[len(p):]
+            break
+    for s in ("تين", "ات", "ان", "ون", "ين", "ها", "ية", "ة", "ه", "ي"):
+        if w.endswith(s) and len(w) - len(s) >= 2:
+            return w[: -len(s)]
+    return w
+
+
+def _el_stem(w: str) -> str:
+    w = w.replace("ς", "σ")  # final-sigma fold (Greek lowercase filter)
+    return _EL_SUFFIX(w)
+
+
+# suffixes in σ-folded form (the fold runs before the strip)
+_EL_SUFFIX = _light_stem(("ματοσ", "ματα", "ουσα", "οντασ", "οσ", "εσ",
+                          "ων", "ου", "ησ", "ασ", "α", "ο", "ι", "η", "ε"))
+
 #: analyzer name → (stopwords, stem fn). Unlisted analyzers use the
 #: standard profile (no stopwords/stemming) until pinned.
 ANALYZERS: dict[str, tuple[frozenset, object]] = {
@@ -238,33 +268,137 @@ ANALYZERS: dict[str, tuple[frozenset, object]] = {
 }
 ANALYZERS["brazilian"] = ANALYZERS["portuguese"]
 
+#: the remaining reference analyzers (elasticsearch.go:205-289), each a
+#: compact high-frequency stopword set + light suffix stripper
+ANALYZERS.update({
+    "arabic": (frozenset("في من على إلى عن أن إن لا ما هذا هذه التي الذي أو "
+                         "ثم كان كانت هو هي و".split()), _ar_stem),
+    "bulgarian": (frozenset("и в на не с за да се от по като е са това той "
+                            "тя но или а което".split()),
+                  _light_stem(("ията", "ите", "ият", "ата", "ото", "ът",
+                               "ят", "та", "то", "а", "я", "и", "е", "о"))),
+    "catalan": (frozenset("el la els les de que i en un una per amb del al "
+                          "es no més ho aquest".split()),
+                _light_stem(("aments", "ament", "cions", "ció", "cio",
+                             "istes", "ista", "es", "s", "a", "e", "o"))),
+    "czech": (frozenset("a se v na je že o s z do i to by pro jako ale si "
+                        "tak už po".split()),
+              _light_stem(("ování", "ění", "ost", "ách", "ích", "ech", "ům",
+                           "ami", "emi", "ého", "ému", "ou", "ě", "í", "é",
+                           "á", "y", "i", "a", "o", "u", "e"))),
+    "danish": (frozenset("og i at det er en den til af på de som der han "
+                         "hun med for ikke".split()),
+               _light_stem(("erne", "ende", "erer", "ere", "en", "et", "er",
+                            "es", "e", "s"))),
+    "greek": (frozenset("και το της ο η των τον την που με σε να από τα "
+                        "είναι για δεν στο".split()), _el_stem),
+    "persian": (frozenset("و در به از که این را با است برای آن یک تا بر هم "
+                          "نیز شد می".split()),
+                _light_stem(("ترین", "هایی", "های", "ها", "تر", "ان", "ات"),
+                            min_len=3)),
+    "finnish": (frozenset("ja on ei se että oli hän joka mutta kun niin "
+                          "myös ovat tai sen".split()),
+                _light_stem(("ssa", "ssä", "sta", "stä", "lla", "llä", "lta",
+                             "ltä", "lle", "ksi", "nen", "ten", "ien", "iin",
+                             "in", "n", "t", "a", "ä"))),
+    "hindi": (frozenset("के का की है में से को और पर यह कि जो ने भी तो हो "
+                        "थे था एक".split()),
+              _light_stem(("ों", "ें", "ो", "े", "ी", "ि", "ा"), min_len=2)),
+    "hungarian": (frozenset("a az és hogy nem is egy van de ez volt meg már "
+                            "csak mint el".split()),
+                  _light_stem(("okban", "ekben", "nak", "nek", "val", "vel",
+                               "ban", "ben", "ból", "ből", "ra", "re", "on",
+                               "en", "ön", "ok", "ek", "ök", "t", "k"))),
+    "armenian": (frozenset("և որ է են ու մի այս այդ նրա իր".split()),
+                 _light_stem(("ները", "ների", "երը", "երի", "ում", "ով",
+                              "ին", "ը", "ն"), min_len=3)),
+    "indonesian": (frozenset("yang dan di dengan untuk pada dari dalam "
+                             "adalah ini itu ke tidak akan juga".split()),
+                   _light_stem(("kan", "nya", "an", "i"))),
+    "italian": (frozenset("il lo la i gli le di a da in con su per che e "
+                          "non un una è del".split()),
+                _light_stem(("azione", "azioni", "amento", "amenti", "mente",
+                             "ità", "ivo", "iva", "ivi", "ive", "i", "e",
+                             "a", "o"))),
+    "lithuanian": (frozenset("ir yra kad į iš su tai bet kaip o jis ji buvo "
+                             "už per".split()),
+                   _light_stem(("imas", "imai", "uose", "ose", "ais", "ams",
+                                "as", "is", "ys", "us", "ai", "ei", "ą", "ę",
+                                "į", "ų", "o", "a", "e", "i", "u"))),
+    "latvian": (frozenset("un ir ka uz no ar par bet kā tas viņš arī šī "
+                          "tik".split()),
+                _light_stem(("šana", "iem", "ām", "am", "em", "is", "us",
+                             "as", "a", "s", "i", "u", "e"))),
+    "dutch": (frozenset("de het een en van in op dat die is was met voor "
+                        "niet aan er zijn".split()),
+              _light_stem(("heden", "heid", "ingen", "ing", "en", "e",
+                           "s"))),
+    "norwegian": (frozenset("og i det at en til er som på av for med han de "
+                            "ikke den har".split()),
+                  _light_stem(("ene", "ere", "est", "en", "et", "er", "es",
+                               "e", "s"))),
+    "romanian": (frozenset("și în de la a cu pe că este un o nu se din "
+                           "pentru mai sau".split()),
+                 _light_stem(("ilor", "ului", "elor", "ul", "ea", "le", "ii",
+                              "i", "e", "a", "ă"))),
+    "russian": (frozenset("и в не на я он с что а то все она так его но да "
+                          "ты к у же из за по от это как".split()),
+                _light_stem(("иями", "ями", "ами", "ией", "иям", "иях",
+                             "ием", "ому", "ему", "ого", "его", "ыми",
+                             "ими", "ия", "ий", "ие", "ию", "ей", "ой",
+                             "ым", "им", "ах", "ях", "ов", "ев", "ая", "яя",
+                             "ую", "юю", "ое", "ее", "ые", "ом", "ем", "ам",
+                             "ям", "ы", "и", "а", "я", "о", "е", "у", "ю",
+                             "ь"))),
+    "swedish": (frozenset("och i att det som en på är av för med till den "
+                          "han hon de inte".split()),
+                _light_stem(("arna", "erna", "orna", "ande", "ende", "aren",
+                             "are", "en", "et", "er", "ar", "or", "a", "e",
+                             "s"))),
+    "turkish": (frozenset("ve bir bu da de için ile olarak daha çok en gibi "
+                          "ama ki ne o".split()),
+                _light_stem(("larının", "lerinin", "ların", "lerin", "ları",
+                             "leri", "lar", "ler", "ında", "inde", "dan",
+                             "den", "tan", "ten", "da", "de", "ta", "te",
+                             "ın", "in", "un", "ün", "ı", "i", "u", "ü"))),
+})
+
 _CJK = re.compile("([\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uac00-\ud7af\uf900-\ufaff]+)")
+_THAI = re.compile("([\u0e00-\u0e7f]+)")
 
 
-def _cjk_tokens(text: str) -> list[str]:
-    """ES ``cjk`` analyzer shape: CJK runs become overlapping character
-    bigrams (single char kept when a run has length 1); non-CJK text
-    goes through the standard tokenizer."""
+def _run_bigrams(text: str, script_re: re.Pattern) -> list[str]:
+    """ES ``cjk`` analyzer shape: script runs become overlapping
+    character bigrams (single char kept when a run has length 1);
+    other text goes through the word tokenizer. Thai reuses the same
+    scheme over its block (ES segments Thai with ICU, unavailable
+    here \u2014 pinned deviation)."""
     out: list[str] = []
-    for i, seg in enumerate(_CJK.split(text)):
+    for i, seg in enumerate(script_re.split(text)):
         if not seg:
             continue
-        if i % 2:  # CJK run
+        if i % 2:  # script run
             if len(seg) == 1:
                 out.append(seg)
             else:
                 out.extend(seg[j:j + 2] for j in range(len(seg) - 1))
         else:
-            out.extend(t for t in _PY_DELIM.split(seg.lower()) if t)
+            out.extend(_UNI_TOKEN.findall(seg.lower()))
     return out
+
+
+def _cjk_tokens(text: str) -> list[str]:
+    return _run_bigrams(text, _CJK)
 
 
 def py_tokens_lang(text: str, analyzer: str = "english") -> list[str]:
     """The ONE lang-v1 pipeline (drives both the oracle and the UDF)."""
     if analyzer == "cjk":
-        return _cjk_tokens(text or "")
+        return _run_bigrams(text or "", _CJK)
+    if analyzer == "thai":
+        return _run_bigrams(text or "", _THAI)
     stop, stem = ANALYZERS.get(analyzer, (frozenset(), _IDENT))
-    toks = [t for t in _PY_DELIM.split((text or "").lower()) if t]
+    toks = _UNI_TOKEN.findall((text or "").lower())
     return [stem(t) for t in toks if t not in stop]
 
 

@@ -97,8 +97,49 @@ def test_english_pipeline():
 
 
 def test_unknown_analyzer_is_identity():
-    assert al.py_tokens_lang("Der Hund LÄUFT schnell", "armenian") == \
-        ["der", "hund", "l", "uft", "schnell"]
+    # unlisted analyzer → standard profile: Unicode tokenize+lowercase
+    # only, no stopwords, no stemming
+    assert al.py_tokens_lang("Der Hund LÄUFT schnell", "icelandic") == \
+        ["der", "hund", "läuft", "schnell"]
+
+
+def test_unicode_tokenization():
+    # lang-v1 tokenizes Unicode word runs (Lucene StandardTokenizer
+    # shape); underscore is a delimiter, accents are letters
+    assert al.py_tokens_lang("café_crème №42", "icelandic") == \
+        ["café", "crème", "42"]
+
+
+def test_russian_pipeline():
+    toks = al.py_tokens_lang("и книгами на столе", "russian")
+    assert "и" not in toks and "на" not in toks      # stopwords
+    assert toks == ["книг", "стол"]                  # light suffix strip
+
+
+def test_arabic_article_strip():
+    # definite-article prefix strip: الكتاب → كتاب, والكتب → كتب
+    assert al.py_tokens_lang("الكتاب والكتب", "arabic") == ["كتاب", "كتب"]
+
+
+def test_greek_final_sigma_fold():
+    toks = al.py_tokens_lang("ο κόσμος", "greek")
+    assert toks == ["κόσμ"]                          # ς→σ then suffix strip
+
+
+def test_thai_run_bigrams():
+    toks = al.py_tokens_lang("สวัสดี world", "thai")
+    assert "world" in toks
+    runs = [t for t in toks if t != "world"]
+    assert runs and all(len(t) == 2 for t in runs)
+
+
+def test_all_reference_analyzers_pinned():
+    # every analyzer name the reference maps (elasticsearch.go:205-289)
+    # has a pinned profile (stop+stem) or a dedicated pipeline
+    mapped = set(al.LANG_ANALYZER.values())
+    special = {"cjk", "thai"}
+    missing = mapped - special - set(al.ANALYZERS)
+    assert not missing, missing
 
 
 def test_cjk_bigrams():
