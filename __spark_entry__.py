@@ -658,6 +658,17 @@ def q_ann_lsh_topk(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF (coarse-quantizer) ANN — the FAISS-IVFFlat-shaped scale
+    path; probing all lists is gated exact in pytest."""
+    from jivesearch_spark.tdp import ann
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    qv = emb.where("vec_id = 0").select("embedding").collect()[0][0]
+    out = ann.ann_topk_ivf(emb, list(qv), k=10, n_lists=16, n_probe=6)
+    return out.select(F.col("id").alias("vec_id"),
+                      F.round("cosine", 4).alias("cosine"))
+
+
 def q_media_decode(spark, sf_dir):
     from jivesearch_spark.tdp import multimodal
     payloads = [
@@ -755,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "extract_pages": q_extract_pages,

@@ -222,3 +222,27 @@ def test_multimodal_resize_and_frame_sample(spark):
     # fan-out cap
     capped = multimodal.sample_frames(media, every_n=1, max_frames=3)
     assert capped.where("media_id = 2").count() == min(n_frames, 3)
+
+
+@pytest.mark.spark
+def test_ann_ivf_recall_and_exact_degenerate(spark, emb):
+    qv = list(emb.where("vec_id = 0").select("embedding").collect()[0][0])
+    exact = [r.id for r in ann.cosine_topk(emb, qv, k=10).collect()]
+
+    # probing every list must reproduce the exact top-k
+    full = [r.id for r in
+            ann.ann_topk_ivf(emb, qv, k=10, n_lists=8, n_probe=8).collect()]
+    assert full == exact
+
+    # probing a fraction of the lists keeps good recall on the head
+    approx = [r.id for r in
+              ann.ann_topk_ivf(emb, qv, k=10, n_lists=8, n_probe=3).collect()]
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.5, (recall, approx, exact)
+    # the query vector itself (vec_id=0) must always be found
+    assert exact[0] in approx
+
+    # deterministic across invocations
+    again = [r.id for r in
+             ann.ann_topk_ivf(emb, qv, k=10, n_lists=8, n_probe=3).collect()]
+    assert approx == again
