@@ -204,8 +204,8 @@ def _query_plan(reader, query: str, tld_boost: str | None):
 
 
 def _score_fielded(pdf, plan, k1, b, k, msm_req):
-    """Kernel for one shard: pdf has (field, term, block…) rows.
-    Returns (docids, scores) of the shard-local top-k."""
+    """Kernel for one doc range (a shard, or the whole index): pdf has
+    (field, term, block…) rows. Returns (docids, scores) top-k."""
     arrays = {}   # (field, term) -> posting arrays (scores already ×idf)
     for field, g in pdf.groupby("field", sort=True):
         spec = plan["per_field"].get(field) or (
@@ -216,7 +216,12 @@ def _score_fielded(pdf, plan, k1, b, k, msm_req):
         for t, arr in decoded.items():
             arr["scores"] = arr["scores"] * spec["boost"]
             arrays[(field, t)] = arr
+    return _score_from_arrays(arrays, plan, k, msm_req)
 
+
+def _score_from_arrays(arrays, plan, k, msm_req):
+    """Score + MSM + tld bonus + top-k from decoded per-(field, term)
+    arrays (scores already ×idf×boost)."""
     score_keys = [kk for kk in arrays if kk[0] != TLD_FIELD]
     if not score_keys:
         return np.empty(0, dtype=np.int64), np.empty(0)
@@ -343,6 +348,14 @@ class FieldedLocalIndex:
         self.n_buckets = self.man[TLD_FIELD].params["n_buckets"]
         self._urls = None
         self._df_cache: dict[tuple[str, str], int] = {}
+        # decoded (field, term) array LRU — fielded queries touch up to
+        # 7 per-field pruned reads; hot terms skip read+decode (same
+        # pattern as serve.LocalIndex, scores cached ×idf×boost which
+        # are both constants of the index)
+        from collections import OrderedDict
+        self._arr_cache: "OrderedDict[tuple[str, str], dict]" = OrderedDict()
+        self._cached_postings = 0
+        self.arr_cache_max_postings = 16_000_000
 
     def stats_for(self, field: str, terms: list[str]) -> dict[str, int]:
         import pyarrow.dataset as ds
@@ -388,29 +401,47 @@ class FieldedLocalIndex:
         b = self.man[TLD_FIELD].params["b"]
         req = bm25.msm_required(len(plan["q_terms"])) if min_should_match else 0
 
-        import pandas as pd
         cols = ["term", "shard", "block_id", "first_docid", "last_docid",
                 "n_docs", "max_score_ub", "deltas", "tfs", "dls"]
-        parts = []
         specs = dict(plan["per_field"])
         if plan["tld"]:
             specs[TLD_FIELD] = plan["tld"]
+        # per-(field, term) arrays: cache hits skip the pruned read +
+        # decode; misses are fetched per field in one batched read.
+        # _decode_term_arrays orders blocks (term, shard, block_id), so
+        # arrays are globally docid-sorted and ONE kernel call returns
+        # the global top-k (same result set, gated rank-identical).
+        arrays = {}
         for name, spec in specs.items():
-            bks = sorted({term_bucket(t, self.n_buckets)
-                          for t in spec["terms"]})
-            flt = (ds.field("bucket").isin(bks)
-                   & ds.field("term").isin(spec["terms"]))
-            pdf = self._post[name].to_table(filter=flt, columns=cols).to_pandas()
-            pdf.insert(0, "field", name)
-            parts.append(pdf)
-        pdf = pd.concat(parts, ignore_index=True)
-        if not len(pdf):
+            missing = [t for t in spec["terms"]
+                       if (name, t) not in self._arr_cache]
+            if missing and self._post[name] is not None:
+                bks = sorted({term_bucket(t, self.n_buckets)
+                              for t in missing})
+                flt = (ds.field("bucket").isin(bks)
+                       & ds.field("term").isin(missing))
+                pdf = self._post[name].to_table(filter=flt,
+                                                columns=cols).to_pandas()
+                if len(pdf):
+                    decoded = _decode_term_arrays(
+                        pdf, {t: spec["idf"][t] for t in missing},
+                        k1, b, spec["avgdl"])
+                    for t, arr in decoded.items():
+                        arr["scores"] = arr["scores"] * spec["boost"]
+                        self._arr_cache[(name, t)] = arr
+                        self._cached_postings += int(arr["docids"].size)
+            for t in spec["terms"]:
+                a = self._arr_cache.get((name, t))
+                if a is not None:
+                    self._arr_cache.move_to_end((name, t))
+                    arrays[(name, t)] = a
+        while (self._cached_postings > self.arr_cache_max_postings
+               and len(self._arr_cache) > len(arrays)):
+            _, old = self._arr_cache.popitem(last=False)
+            self._cached_postings -= int(old["docids"].size)
+        if not arrays:
             return []
-        # one global kernel call: _decode_term_arrays orders blocks by
-        # (term, shard, block_id), so per-(field, term) arrays stay
-        # globally docid-sorted across shards — no per-shard loop, no
-        # top-k merge (same result set, gated rank-identical)
-        docids, scores = _score_fielded(pdf, plan, k1, b, k, req)
+        docids, scores = _score_from_arrays(arrays, plan, k, req)
         if not docids.size:
             return []
         urls = self._url_of(docids)
