@@ -65,16 +65,14 @@ def q_bm25_msm(spark, sf_dir):
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
-def q_bm25_fielded(spark, sf_dir):
-    """The reference SERP scorer (search/elasticsearch.go:32-48):
-    cross-field BM25 with boosts domain^3 / path^2 / title^1.5 /
-    description, bigram-shingle should clauses, index=true filter,
-    MSM -25% — over field columns derived deterministically from the
-    documents table (title/description/path = token-stream slices,
-    domain = source, index bit from doc_id)."""
+def _derived_fielded(spark, sf_dir):
+    """Deterministic field columns from the documents table — the ONE
+    derivation both fielded entries (and _fielded_sql) are defined
+    against: title/description/path = token-stream slices, domain =
+    source, index bit from doc_id % 13."""
     d = _docs(spark, sf_dir)
     tk = analyze.tokens(F.col("text"))
-    fielded = d.select(
+    return d.select(
         "doc_id",
         (F.col("doc_id") % 13 != 0).alias("index"),
         F.col("source").alias("domain"),
@@ -82,7 +80,15 @@ def q_bm25_fielded(spark, sf_dir):
         F.concat_ws(" ", F.slice(tk, 1, 6)).alias("title"),
         F.concat_ws(" ", F.slice(tk, 7, 24)).alias("description"),
     )
-    out = bm25.bm25_fielded_topk(fielded, QUERY_MAIN, k=10, id_col="doc_id",
+
+
+def q_bm25_fielded(spark, sf_dir):
+    """The reference SERP scorer (search/elasticsearch.go:32-48):
+    cross-field BM25 with boosts domain^3 / path^2 / title^1.5 /
+    description, bigram-shingle should clauses, index=true filter,
+    MSM -25% — over _derived_fielded columns."""
+    out = bm25.bm25_fielded_topk(_derived_fielded(spark, sf_dir), QUERY_MAIN,
+                                 k=10, id_col="doc_id",
                                  shingles=True, min_should_match=True)
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
@@ -105,18 +111,10 @@ def q_bm25_fielded_indexed(spark, sf_dir):
         h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         root = f"/tmp/jivesearch_fielded_{h}"
         if not os.path.exists(os.path.join(root, "fielded.json")):
-            d = _docs(spark, sf_dir)
-            tk = analyze.tokens(F.col("text"))
-            fielded = d.select(
-                "doc_id",
-                F.col("source").alias("domain"),
-                F.concat_ws(" ", F.slice(tk, 4, 6)).alias("path_parts"),
-                F.concat_ws(" ", F.slice(tk, 1, 6)).alias("title"),
-                F.concat_ws(" ", F.slice(tk, 7, 24)).alias("description"),
-            ).where(F.col("doc_id") % 13 != 0)
             # url = zero-padded doc_id so url-rank docids preserve the
             # doc_id tie-break ordering of the oracle
-            fielded = (fielded
+            fielded = (_derived_fielded(spark, sf_dir)
+                       .where(F.col("index")).drop("index")
                        .withColumn("url", F.format_string("https://d/%012d",
                                                           F.col("doc_id")))
                        .withColumn("tld", F.lit(None).cast("string")))

@@ -6,7 +6,11 @@ walking parent tags (``:28-41``: ``pt-BR``→brazilian, ``en-US``→
 english, unknown subtags fall back to the parent).  Analysis =
 tokenize → stopword filter → stem.
 
-Pinned here as profile "lang-v1": the pipeline below (Unicode word
+Pinned here as profile "lang-v2" (``LANG_PROFILE``; v1 was the
+ASCII-tokenizer profile with six stop/stem sets — index manifests
+record the profile at build time and readers refuse a mismatched
+version, so a spec change can never silently break doc/query rank
+identity): the pipeline below (Unicode word
 tokenizer → per-language stopword set → stemmer) IS the spec —
 applied identically to documents and queries (driver-side Python and
 the Arrow-batched Spark UDF share one code path), which is what
@@ -34,6 +38,10 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
+
+#: pinned analyzer-spec version, recorded in index manifests
+#: (IndexParams.analyzer_profile) and checked at query-analysis time
+LANG_PROFILE = "lang-v2"
 
 # ---------------------------------------------------------------------------
 # lang → analyzer resolution (document/elasticsearch.go:205-289, 28-41)

@@ -74,6 +74,15 @@ class IndexParams:
     #: ("english", "french", "cjk", …) — the same chain is applied to
     #: queries at read time (rank identity requires one spec).
     analyzer: str = "standard"
+    #: pinned lang-profile version recorded at build time; readers
+    #: refuse to analyze queries for an index built under a different
+    #: profile (analyze_query) — "" only in pre-versioning manifests
+    analyzer_profile: str = ""
+
+    def __post_init__(self):
+        if not self.analyzer_profile:
+            from . import analyze_lang
+            self.analyzer_profile = analyze_lang.LANG_PROFILE
 
 
 @dataclass
@@ -94,8 +103,11 @@ class Manifest:
         with open(p) as f:
             d = json.load(f)
         # forward-compat: params added after a manifest was written get
-        # their defaults, so old indexes stay resumable/readable
+        # their defaults, so old indexes stay resumable/readable —
+        # EXCEPT analyzer_profile, which must stay "" (unknown) for
+        # pre-versioning manifests rather than claiming the current one
         defaults = asdict(IndexParams())
+        defaults["analyzer_profile"] = ""
         for key, val in defaults.items():
             d.setdefault("params", {}).setdefault(key, val)
         return cls(**d)

@@ -42,6 +42,15 @@ def analyze_query(man: Manifest, query: str) -> list[str]:
     if an == "standard":
         return analyze.py_tokens(query)
     from . import analyze_lang
+    # an index built under a different pinned lang profile would be
+    # silently unsearchable (doc tokens ≠ query tokens) — fail loudly.
+    # "" = manifest predates profile recording; accepted as current.
+    prof = man.params.get("analyzer_profile", "")
+    if prof and prof != analyze_lang.LANG_PROFILE:
+        raise ValueError(
+            f"index was built with analyzer profile {prof!r}; this build "
+            f"analyzes queries with {analyze_lang.LANG_PROFILE!r} — "
+            "rebuild the index or pin the matching version")
     return analyze_lang.py_tokens_lang(query, an)
 
 
@@ -142,11 +151,9 @@ def _decode_term_arrays(pdf, idf: dict, k1: float, b: float,
         l = l.astype(np.float64)
         w = idf[term]
         scores = w * t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * l / max(avgdl, 1e-9)))
-        # per-posting block index for block-max UB lookup
-        blk_of = np.repeat(np.arange(len(g)), g["n_docs"].values)
         terms[term] = {
             "docids": d, "scores": scores, "block_ub": ubs,
-            "block_first": firsts, "blk_of": blk_of, "max_ub": float(ubs.max()),
+            "block_first": firsts, "max_ub": float(ubs.max()),
         }
     return terms
 

@@ -12,10 +12,14 @@ read of a few posting lists. This module is that read path:
    on ``bucket`` + parquet row-group min/max pruning on ``term`` —
    IO per query is O(|Q| posting lists) regardless of corpus size.
 2. same pruned read over ``postings``; decode + score with the SAME
-   numpy kernel the Spark path uses (`query._score_shard_np`) —
-   one code path ⇒ rank identity between serve and cluster modes is
-   structural, and the pinned tie-break (round(score,9) desc, docid
-   asc) is replicated exactly.
+   numpy kernels the Spark path uses (`query._decode_term_arrays` +
+   `query._topk_from_terms`, called once over the whole index instead
+   of per doc-shard — shard ranges partition the docid space, so the
+   concatenated arrays stay globally docid-sorted) — one code path ⇒
+   rank identity between serve and cluster modes is structural, and
+   the pinned tie-break (round(score,9) desc, docid asc) is
+   replicated exactly. Decoded per-term arrays are kept in a bounded
+   LRU so hot terms skip read+decode.
 
 At 10^12 docs this is how a serving tier in front of the index works:
 each frontend holds the manifest + term→df cache; every query reads
@@ -129,7 +133,7 @@ class LocalIndex:
                 self._term_cache.move_to_end(t)
                 arrays[t] = a
         while (self._cached_postings > self.term_cache_max_postings
-               and len(self._term_cache) > len(live)):
+               and len(self._term_cache) > len(arrays)):
             _, old = self._term_cache.popitem(last=False)
             self._cached_postings -= int(old["docids"].size)
         if not arrays:

@@ -161,6 +161,8 @@ def ivf_centroids(emb: DataFrame, n_lists: int = 16, train_size: int = 2048,
     """
     rows = (emb.orderBy(id_col).limit(train_size)
             .select(vec_col).collect())
+    if not rows:
+        return np.zeros((0, 0))
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -202,18 +204,28 @@ def ann_topk_ivf(emb: DataFrame, query_vec: list[float], k: int = 10,
                  n_lists: int = 16, n_probe: int = 4,
                  train_size: int = 2048, seed: int = 42,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 centroids: np.ndarray | None = None) -> DataFrame:
+                 centroids: np.ndarray | None = None,
+                 assigned: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest inverted
     lists, exact cosine inside them (FAISS IVFFlat shape). With
     ``n_probe == n_lists`` this degenerates to the exact scan (tested).
     Recall/latency trades via (n_lists, n_probe); exactness is NOT
-    claimed — tests measure recall vs ``cosine_topk``."""
+    claimed — tests measure recall vs ``cosine_topk``.
+
+    Self-contained calls retrain the quantizer and re-assign inline —
+    fine for one-offs, but the scale pattern is: ``ivf_centroids``
+    once, materialize ``ivf_assign`` output partitioned by
+    ``list_id``, then pass both via ``centroids=``/``assigned=`` so a
+    query reads only its probed partitions."""
     C = centroids if centroids is not None else ivf_centroids(
         emb, n_lists, train_size, seed=seed, id_col=id_col, vec_col=vec_col)
+    if C.shape[0] == 0:     # empty corpus → empty result, same schema
+        return cosine_topk(emb, query_vec, k, id_col, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(C @ q))[:n_probe].tolist()
-    assigned = ivf_assign(emb, C, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(emb, C, id_col, vec_col)
     cand_ids = (assigned.where(F.col("list_id").isin(probe))
                 .select("id").withColumnRenamed("id", id_col))
     cands = emb.join(cand_ids, id_col, "inner")

@@ -272,10 +272,12 @@ def read_cirrus_dump(spark, path: str, kind: str = "wikipedia",
 # ---------------------------------------------------------------------------
 
 #: filename shapes of cirrus content dumps (dump.go:207-209)
+#: (dots escaped — the reference's own patterns leave them as
+#: match-any, which is a latent bug, not a semantic to preserve)
 _CIRRUS_RE = {
-    "wikipedia": r"^([a-z_]+)wiki-\d{8}-cirrussearch-content.json.gz$",
-    "wikiquote": r"^([a-z_]+)wikiquote-\d{8}-cirrussearch-content.json.gz$",
-    "wiktionary": r"^([a-z_]+)wiktionary-\d{8}-cirrussearch-content.json.gz$",
+    "wikipedia": r"^([a-z_]+)wiki-\d{8}-cirrussearch-content\.json\.gz$",
+    "wikiquote": r"^([a-z_]+)wikiquote-\d{8}-cirrussearch-content\.json\.gz$",
+    "wiktionary": r"^([a-z_]+)wiktionary-\d{8}-cirrussearch-content\.json\.gz$",
 }
 
 #: project prefixes that look like language codes but aren't wikis we

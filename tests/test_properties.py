@@ -55,7 +55,7 @@ def test_block_codec_roundtrip_and_blockmax_bound(postings, idf, avgdl):
     for blk in blocks:
         d, t, l = codec.decode_block(blk["deltas"], blk["tfs"], blk["dls"],
                                      blk["n_docs"])
-        got_d.append(d + (0 if blk["block_id"] == 0 else 0))
+        got_d.append(d)
         got_t.append(t)
         got_l.append(l)
     assert np.array_equal(np.concatenate(got_d), docids)
