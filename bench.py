@@ -37,7 +37,10 @@ N_DOCS = int(os.environ.get("BENCH_DOCS", "400000"))
 PAIR_LOW = int(os.environ.get("BENCH_PAIR_LOW", "1"))
 PAIR_HIGH = int(os.environ.get("BENCH_PAIR_HIGH", "4"))
 REPS = int(os.environ.get("BENCH_REPS", "10"))
-BUILD_REPS = int(os.environ.get("BENCH_BUILD_REPS", "3"))
+#: default 4 → 3 interleaved (low, high) pairs, so the reported
+#: median efficiency is a true middle value (with only 2 pairs a
+#: single host-noise-disturbed pair drags the mean-of-two)
+BUILD_REPS = int(os.environ.get("BENCH_BUILD_REPS", "4"))
 WORK = os.environ.get("BENCH_WORK", "/tmp/jivesearch_bench")
 
 BENCH_QUERIES = [
