@@ -37,6 +37,13 @@ def main(argv=None):
     ap.add_argument("--bucket-batch", type=int, default=64)
     ap.add_argument("--docs-per-shard", type=int, default=1 << 16)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--fielded", action="store_true",
+                    help="build the fielded SERP index (per-field "
+                         "sub-indexes with reference boosts) instead of "
+                         "the single-text index")
+    ap.add_argument("--lang", default=None,
+                    help="with --fielded: restrict to one language "
+                         "(the reference's one-index-per-language layout)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,20 +62,28 @@ def main(argv=None):
     t0 = time.time()
     pages = spark.read.parquet(args.pages)
     # index build never consumes links — skip frontier link resolution
-    docs = (extract_pages_df(pages, collect_links=False)
-            .where(F.col("valid") & F.col("index") & F.col("canonical"))
-            .select("url", "text"))
+    extracted = (extract_pages_df(pages, collect_links=False)
+                 .where(F.col("valid") & F.col("index") & F.col("canonical")))
     params = IndexParams(docs_per_shard=args.docs_per_shard,
                          n_buckets=args.n_buckets,
                          bucket_batch=args.bucket_batch)
-    man = build_index(docs, args.out, params, id_col="__none__",
-                      url_col="url", resume=args.resume,
-                      log=lambda *a: print(*a, file=sys.stderr))
+    log = lambda *a: print(*a, file=sys.stderr)  # noqa: E731
+    if args.fielded:
+        from jivesearch_spark.fielded import build_fielded_index
+        build_fielded_index(extracted, args.out, params, lang=args.lang,
+                            resume=args.resume, log=log)
+        from jivesearch_spark.index import Manifest
+        import os
+        man = Manifest.load(os.path.join(args.out, "fields", "title"))
+    else:
+        docs = extracted.select("url", "text")
+        man = build_index(docs, args.out, params, id_col="__none__",
+                          url_col="url", resume=args.resume, log=log)
     wall = time.time() - t0
     print(json.dumps({
         "n_docs": man.n_docs, "avgdl": round(man.avgdl, 4),
         "n_shards": man.n_shards, "batches": len(man.completed_batches),
-        "seconds": round(wall, 2),
+        "fielded": bool(args.fielded), "seconds": round(wall, 2),
         "docs_per_sec": round(man.n_docs / wall, 1) if wall else None,
     }))
     spark.stop()

@@ -27,6 +27,11 @@ def main(argv=None):
     ap.add_argument("--mode", choices=["spark", "serve"], default="spark")
     ap.add_argument("--msm", action="store_true",
                     help="apply minimum-should-match -25%%")
+    ap.add_argument("--fielded", action="store_true",
+                    help="query a fielded SERP index (built with "
+                         "submit_build.py --fielded)")
+    ap.add_argument("--tld", default=None,
+                    help="with --fielded: regional tld should-clause")
     args = ap.parse_args(argv)
     if not args.query and not args.queries_file:
         ap.error("need --query or --queries-file")
@@ -37,6 +42,15 @@ def main(argv=None):
             queries += [ln.strip() for ln in f if ln.strip()]
 
     if args.mode == "serve":
+        if args.fielded:
+            from jivesearch_spark.fielded import FieldedLocalIndex
+            fidx = FieldedLocalIndex(args.index)
+            for q in queries:
+                # fielded queries always apply the reference's MSM -25%
+                hits = fidx.topk(q, args.k, tld_boost=args.tld)
+                print(json.dumps({"q": q, "hits": [[u, round(s, 6)]
+                                                   for u, s in hits]}))
+            return
         from jivesearch_spark.serve import LocalIndex
         idx = LocalIndex(args.index)
         batch = idx.topk_batch(queries, args.k, min_should_match=args.msm)
@@ -47,10 +61,21 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
-    from jivesearch_spark.query import (IndexReader, bm25_topk_batch,
-                                        bm25_topk_indexed)
     spark = SparkSession.builder.appName("jivesearch-query").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if args.fielded:
+        from jivesearch_spark.fielded import FieldedReader, bm25_fielded_indexed
+        freader = FieldedReader(spark, args.index)
+        for q in queries:
+            rows = bm25_fielded_indexed(freader, q, args.k,
+                                        tld_boost=args.tld).collect()
+            print(json.dumps({"q": q, "hits": [[r.doc_id, round(r.score, 6)]
+                                               for r in rows]}))
+        spark.stop()
+        return
+
+    from jivesearch_spark.query import (IndexReader, bm25_topk_batch,
+                                        bm25_topk_indexed)
     reader = IndexReader(spark, args.index)
     if len(queries) > 1:
         # whole log in one job: shared pruned scan, per-qid window top-k
