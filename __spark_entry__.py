@@ -679,6 +679,21 @@ def q_media_decode(spark, sf_dir):
         "media_id", "kind", "width", "height", "nsfw_score", "ok")
 
 
+def q_lang_analyze(spark, sf_dir):
+    """Per-language analyzer routing (§2.8 chain; one-index-per-
+    analyzer analog): each row tokenized by its language's pinned
+    chain (en→Porter, es/de/fr→light stemmers, zh→cjk bigrams) in ONE
+    Arrow UDF. Porter isn't SQL-expressible in DuckDB (stem() needs an
+    extension download), so rows-only; token-level identity with the
+    Python oracle is the pytest gate."""
+    from jivesearch_spark import analyze_lang as al
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    out = al.analyzed_docs(d)
+    return out.select("doc_id", "lang",
+                      F.size("toks").alias("n_tokens"),
+                      F.concat_ws(" ", F.slice("toks", 1, 5)).alias("head"))
+
+
 def q_frame_sample(spark, sf_dir):
     """Frame-sampling fan-out (UDTF-shaped mapInPandas): one row per
     sampled frame; decode is a deterministic stub, plumbing is real."""
@@ -767,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
+        "lang_analyze": q_lang_analyze,
         "extract_pages": q_extract_pages,
     }
 
