@@ -68,3 +68,42 @@ def test_submit_build_and_query(spark, tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     serve_hits = json.loads(out.stdout.strip().splitlines()[-1])["hits"]
     assert serve_hits == spark_hits
+
+
+@pytest.mark.spark
+def test_submit_fielded_build_and_query(spark, tmp_path):
+    submit = _spark_submit()
+    if submit is None:
+        pytest.skip("no spark-submit binary")
+
+    pages = str(tmp_path / "pages")
+    idx = str(tmp_path / "fidx")
+    from jivesearch_spark import corpus
+    corpus.write_pages(spark, pages, n=300)
+
+    from jivesearch_spark.session import package_zip
+    env = {**os.environ, "PYTHONPATH": ""}
+    base = [submit, "--master", "local[2]", "--py-files", package_zip(),
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4"]
+
+    out = subprocess.run(
+        base + [os.path.join(REPO, "tools", "submit_build.py"),
+                "--pages", pages, "--out", idx, "--fielded",
+                "--n-buckets", "4", "--bucket-batch", "4"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["fielded"] and metrics["n_docs"] > 0
+
+    # serving-tier fielded query needs no spark-submit at all
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "submit_query.py"),
+         "--index", idx, "--query", "bob dylan",
+         "--mode", "serve", "--fielded"],
+        capture_output=True, text=True, cwd=str(tmp_path),
+        env={**os.environ, "PYTHONPATH": REPO}, timeout=300)
+    assert out.returncode == 0, out.stderr[-3000:]
+    hits = json.loads(out.stdout.strip().splitlines()[-1])["hits"]
+    assert hits and isinstance(hits[0][0], str)
