@@ -304,9 +304,13 @@ def q_topk_per_source(spark, sf_dir):
 
 
 def q_source_counts(spark, sf_dir):
+    # BIGINT cast + ORDER BY mirror the oracle exactly: DuckDB
+    # sum(int) is HUGEINT (arrow decimal128) which value-hashes
+    # differently from a Spark long even when numerically equal
     return (_docs(spark, sf_dir).groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_chars").alias("total_chars")))
+                 F.sum("n_chars").alias("total_chars"))
+            .orderBy("source"))
 
 
 def q_char_frequency(spark, sf_dir):
@@ -516,8 +520,9 @@ def q_fingerprints(spark, sf_dir):
 
 
 #: calculator replay: integer-friendly expressions whose float repr is
-#: identical between json.dumps and DuckDB varchar casts; `^` is the
-#: power operator on both sides (govaluate-style, calculator.go:55-94)
+#: identical between json.dumps and DuckDB varchar casts; `^` is
+#: BITWISE XOR binding looser than +/- (govaluate OperatorSymbol.go:164,
+#: stagePlanner.go planBitwise), so '2 ^ 5 - 1' = 2 xor 4 = 6.0
 CALC_QUERIES = ["12 * (3 + 2)", "2 ^ 5 - 1", "100 / 8"]
 
 
@@ -630,6 +635,85 @@ def q_ann_cosine_topk(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+def _hexbyte_sql(col: str, pos: int) -> str:
+    """SQL for byte ``pos`` (0-based) of a lowercase-hex digest string
+    — DuckDB 1.0 has no hex→int cast, so nibble lookup by strpos."""
+    i = 2 * pos + 1
+    return (f"((strpos('0123456789abcdef', substr({col},{i},1))-1)*16"
+            f" + strpos('0123456789abcdef', substr({col},{i + 1},1))-1)")
+
+
+def _extract_pages_sql() -> str:
+    """Oracle for q_extract_pages: a VALUES table of the corpus'
+    golden (url, lang, text) — text computed by the pinned FIELD rules
+    in corpus.gen_page, independent of the HTML parser under test —
+    with domain re-derived in SQL (eTLD+1 over the corpus' 2-level
+    public suffixes) and text hashed by DuckDB's own md5."""
+    from jivesearch_spark import corpus, gourl
+    vals = []
+    for i in range(200):
+        url, _ts, _html, golden_text, lang = corpus.gen_page(i)
+        try:
+            u = gourl.validate_url(url).string()
+        except (gourl.URLError, ValueError):
+            continue  # invalid rows are filtered on the Spark side too
+        t = golden_text.replace("'", "''")
+        vals.append(f"('{u}', '{lang}', '{t}')")
+    return f"""
+WITH g(url, lang, text) AS (VALUES {", ".join(vals)}),
+h AS (SELECT url, lang, text,
+        string_split(lower(regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)), '.') AS parts
+      FROM g)
+SELECT url,
+       CASE WHEN text = '' THEN ''
+            WHEN len(parts) >= 3 AND (parts[-2] || '.' || parts[-1])
+                 IN ('co.uk', 'com.br', 'co.jp')
+            THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+            ELSE parts[-2] || '.' || parts[-1] END AS domain,
+       lang, (text = '') AS stub, md5(text) AS text_md5
+FROM h"""
+
+
+def _media_decode_sql() -> str:
+    """Exact replay of multimodal._stub_decode over the same 60
+    payloads: the stub digests the lowercase-hex payload encoding, so
+    DuckDB recomputes sha256 itself (no literal answer table)."""
+    return f"""
+WITH p AS (
+  SELECT CAST(i AS BIGINT) AS media_id, CAST(i % 3 AS INT) AS m,
+         sha256((CASE CAST(i % 3 AS INT) WHEN 0 THEN '89504e470d0a1a0a'
+                 WHEN 1 THEN 'ffd8ff' ELSE '474946383961' END)
+                || repeat(printf('%02x', i % 251), 32)) AS hx
+  FROM range(60) t(i))
+SELECT media_id,
+       CASE m WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+              ELSE 'image/gif' END AS kind,
+       CAST(16 + {_hexbyte_sql('hx', 0)}*4 AS INT) AS width,
+       CAST(16 + {_hexbyte_sql('hx', 1)}*4 AS INT) AS height,
+       round({_hexbyte_sql('hx', 11)}/255.0, 2) AS nsfw_score,
+       true AS ok
+FROM p"""
+
+
+def _frame_sample_sql() -> str:
+    """Exact replay of multimodal.sample_frames(every_n=8, max_frames=4)
+    over the same 30 payloads: n_frames from digest byte 2, stride-8
+    sampling capped at 4 frames ⇒ range(0, least(n, 32), 8)."""
+    return f"""
+WITH p AS (
+  SELECT CAST(i AS BIGINT) AS media_id, CAST(i % 3 AS INT) AS m,
+         sha256((CASE CAST(i % 3 AS INT) WHEN 0 THEN '89504e470d0a1a0a'
+                 WHEN 1 THEN '1a45dfa3' ELSE '494433' END)
+                || repeat(printf('%02x', i % 251), 32)) AS hx
+  FROM range(30) t(i)),
+f AS (SELECT media_id,
+        CASE WHEN m = 0 THEN 1 ELSE 1 + ({_hexbyte_sql('hx', 2)}) % 64 END AS n_frames
+      FROM p)
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       CAST(fi * 40 AS INT) AS ts_ms, true AS ok
+FROM (SELECT media_id, unnest(range(0, least(n_frames, 32), 8)) AS fi FROM f)"""
+
+
 # rows-only entries (no exact SQL equivalent)
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -668,6 +752,8 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_media_decode(spark, sf_dir):
+    """Stub media decode over deterministic payloads; exact DuckDB
+    oracle (_media_decode_sql) recomputes the digest-derived fields."""
     from jivesearch_spark.tdp import multimodal
     payloads = [
         (i, (b"\x89PNG\r\n\x1a\n" if i % 3 == 0 else
@@ -696,7 +782,8 @@ def q_lang_analyze(spark, sf_dir):
 
 def q_frame_sample(spark, sf_dir):
     """Frame-sampling fan-out (UDTF-shaped mapInPandas): one row per
-    sampled frame; decode is a deterministic stub, plumbing is real."""
+    sampled frame; decode is a deterministic stub, plumbing is real;
+    exact DuckDB oracle (_frame_sample_sql) replays the fan-out."""
     from jivesearch_spark.tdp import multimodal
     payloads = [
         (i, (b"\x89PNG\r\n\x1a\n" if i % 3 == 0 else
@@ -709,15 +796,21 @@ def q_frame_sample(spark, sf_dir):
 
 
 def q_extract_pages(spark, sf_dir):
-    """Extractor smoke over the synthetic pages corpus (the input_hint
-    pipeline; byte-identity is gated in pytest, this checks the Spark
-    plumbing end-to-end)."""
+    """Extractor over the synthetic pages corpus (the input_hint
+    pipeline). The DuckDB oracle replays the corpus' GOLDEN field
+    rules (gen_page derives text from the raw ingredients, NOT by
+    parsing HTML — corpus.py:77-89), so this checks the HTML-parse
+    path against an independent derivation: text via md5, domain
+    re-derived in SQL from the url string, stub = the noindex/
+    non-canonical projection (crawler.go:311-322)."""
     from jivesearch_spark import corpus
     from jivesearch_spark.extract import extract_pages_df
     pages = corpus.pages_df(spark, 200, partitions=4)
-    return (extract_pages_df(pages)
-            .select("url", "domain", "lang", "index", "canonical", "text")
-            .where(F.col("valid")))
+    ex = extract_pages_df(pages).where(F.col("valid"))
+    return ex.select(
+        "url", "domain", "lang",
+        (~(F.col("index") & F.col("canonical"))).alias("stub"),
+        F.md5("text").alias("text_md5"))
 
 
 # ---------------------------------------------------------------------------
@@ -884,7 +977,7 @@ ORDER BY round(raw, 9) DESC, doc_id LIMIT 10"""
 WITH toks AS ({SQL_TOKS}),
 tfl AS (SELECT doc_id, unnest(tk) AS term FROM toks),
 tfg AS (SELECT term, doc_id, count(*) AS tf FROM tfl GROUP BY 1, 2)
-SELECT term, count(*) AS df, sum(tf) AS cf FROM tfg GROUP BY 1
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tfg GROUP BY 1
 ORDER BY df DESC, term LIMIT 50""",
         "doc_lengths": f"WITH toks AS ({SQL_TOKS}) SELECT doc_id, len(tk) AS dl FROM toks",
         "boolean_and": f"""
@@ -915,8 +1008,8 @@ SELECT source, doc_id, n_chars FROM (
                             ORDER BY n_chars DESC, doc_id) AS rn
   FROM documents) WHERE rn = 1""",
         "source_counts": """
-SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
-FROM documents GROUP BY 1""",
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1 ORDER BY source""",
         "char_frequency": f"""
 SELECT doc_id, length(text) - length(replace(text, '{CHAR}', '')) AS freq
 FROM documents""",
@@ -1097,6 +1190,9 @@ SELECT doc_id,
            regexp_split_to_array(lower(source), ' '),
            w -> upper(w[1]) || w[2:]), 'string_agg', ' '), ' ', '_') AS canon
 FROM f""",
+        "media_decode": _media_decode_sql(),
+        "frame_sample": _frame_sample_sql(),
+        "extract_pages": _extract_pages_sql(),
         "wiki_item_join": _wiki_sql(WIKI_ITEM_SQL),
         "wiki_claims_join": _wiki_sql(WIKI_CLAIMS_SQL),
         "wiki_disambiguation": _wiki_sql(WIKI_DISAMBIG_SQL),
@@ -1135,7 +1231,7 @@ UNION ALL
 SELECT '12 * (3 + 2)', 'calculator',
        CAST(CAST(12 * (3 + 2) AS DOUBLE) AS VARCHAR)
 UNION ALL
-SELECT '2 ^ 5 - 1', 'calculator', CAST(CAST(2 ^ 5 - 1 AS DOUBLE) AS VARCHAR)
+SELECT '2 ^ 5 - 1', 'calculator', CAST(CAST(xor(2, 5 - 1) AS DOUBLE) AS VARCHAR)
 UNION ALL
 SELECT '100 / 8', 'calculator', CAST(100 / 8 AS VARCHAR)""",
         "ann_cosine_topk": """

@@ -161,7 +161,10 @@ class BirthStone(Answerer):
 
 class Calculator(Answerer):
     """instant/calculator.go:40-95; expression eval per govaluate
-    (+ - * / ^ parens, float64 arithmetic)."""
+    (+ - * / ** parens, float64 arithmetic; ``^`` is BITWISE XOR with
+    govaluate's precedence — looser than additive — per
+    vendor/github.com/Knetic/govaluate/OperatorSymbol.go:164 and
+    stagePlanner.go planBitwise→planShift→planAdditive)."""
     type = "calculator"
     TRIGGERS = ["calculator", "calculate", "compute", "formula", "solve",
                 "add", "subtract", "multiply", "divide"]
@@ -191,9 +194,18 @@ class Calculator(Answerer):
     def _eval(expr: str) -> float:
         import ast
         import operator as op
-        node = ast.parse(expr.replace("^", "**").strip(), mode="eval").body
+
+        # Python's grammar shares govaluate's relative precedence for
+        # every operator we accept: BitXor binds looser than Add/Sub,
+        # Pow tightest — so the ast parse IS the govaluate parse.
+        def xor(left: float, right: float) -> float:
+            # bitwiseXORStage: float64(int64(l) ^ int64(r)) —
+            # evaluationStage.go:204-206 (int64() truncates toward 0)
+            return float(int(left) ^ int(right))
+
+        node = ast.parse(expr.strip(), mode="eval").body
         ops = {ast.Add: op.add, ast.Sub: op.sub, ast.Mult: op.mul,
-               ast.Div: op.truediv, ast.Pow: op.pow,
+               ast.Div: op.truediv, ast.Pow: op.pow, ast.BitXor: xor,
                ast.USub: op.neg, ast.UAdd: op.pos}
 
         def ev(n):

@@ -54,11 +54,17 @@ def _stub_decode(data: bytes, feature_dim: int = 8):
     embedding model. Raises nothing; callers see ok=False rows for
     undecodable payloads, mirroring the reference's skip-on-error
     (image/cmd/images.go:162-171).
+
+    The digest is sha256 over the LOWERCASE-HEX encoding of the
+    payload (not the raw bytes): equally arbitrary for a stub, but
+    independently computable by a SQL engine without blob-hash
+    support (DuckDB sha256 is VARCHAR-only), which is what lets the
+    media_decode / frame_sample contract entries carry exact oracles.
     """
     kind = sniff_kind(data)
     if kind in ("unknown", "application/octet-stream"):
         return kind, None
-    h = hashlib.sha256(data).digest()
+    h = hashlib.sha256(data.hex().encode("ascii")).digest()
     width = 16 + h[0] * 4
     height = 16 + h[1] * 4
     n_frames = 1 if kind.startswith("image/") else 1 + h[2] % 64

@@ -24,6 +24,14 @@ GOLDENS = [
     ("calculate 2+2", "calculator", 4.0),
     ("(2+2)*3+6.3", "calculator", 18.3),
     ("(2+2)*3/6.4 compute", "calculator", 1.875),
+    # '^' is govaluate BITWISE_XOR, looser than additive
+    # (vendor/github.com/Knetic/govaluate/OperatorSymbol.go:164,
+    # stagePlanner.go planBitwise → planShift → planAdditive):
+    # 2 ^ 5 - 1 parses as 2 xor (5-1) = 6; '**' is the power operator
+    ("2 ^ 5 - 1", "calculator", 6.0),
+    ("7 ^ 2", "calculator", 5.0),
+    ("2 ** 5 - 1", "calculator", 31.0),
+    ("2 ** 3 ^ 1", "calculator", 9.0),
     # camelcase (instant/camelcase.go:63-95)
     ("camelcase metallica rocks", "camelcase", "MetallicaRocks"),
     ("aliCE in chAins Is better camel case", "camelcase", "AliceInChainsIsBetter"),
