@@ -108,9 +108,26 @@ def q_bm25_fielded_indexed(spark, sf_dir):
     root = _FIELDED_IDX_CACHE.get(sf_dir)
     if root is None:
         import hashlib
+        import json
+        import shutil
         h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         root = f"/tmp/jivesearch_fielded_{h}"
-        if not os.path.exists(os.path.join(root, "fielded.json")):
+        meta_p = os.path.join(root, "fielded.json")
+        expected = _docs(spark, sf_dir).where(F.col("doc_id") % 13 != 0).count()
+        if os.path.exists(meta_p):
+            # validate the on-disk index against the CURRENT table —
+            # a regenerated sf_dir at the same path must not replay
+            # against a stale index (cache keys only the path). Every
+            # per-field sub-index records corpus n_docs in its manifest.
+            try:
+                with open(os.path.join(root, "fields", "tld",
+                                       "manifest.json")) as fh:
+                    n_cached = json.load(fh).get("n_docs")
+            except (OSError, ValueError):
+                n_cached = None
+            if n_cached != expected:
+                shutil.rmtree(root, ignore_errors=True)
+        if not os.path.exists(meta_p):
             # url = zero-padded doc_id so url-rank docids preserve the
             # doc_id tie-break ordering of the oracle
             fielded = (_derived_fielded(spark, sf_dir)
@@ -193,9 +210,18 @@ def _ensure_index(spark, sf_dir) -> str:
     root = _INDEX_CACHE.get(sf_dir)
     if root is None:
         import hashlib
+        import shutil
         h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
         root = f"/tmp/jivesearch_index_{h}"
-        if Manifest.load(root) is None or not Manifest.load(root).done:
+        man = Manifest.load(root)
+        # validate a pre-existing index against the CURRENT table: the
+        # cache keys only the path, so a regenerated sf_dir must
+        # trigger a rebuild, not a stale replay
+        if man is not None and man.done:
+            if man.n_docs != _docs(spark, sf_dir).count():
+                shutil.rmtree(root, ignore_errors=True)
+                man = None
+        if man is None or not man.done:
             docs = _docs(spark, sf_dir).selectExpr("doc_id AS docid", "text")
             build_index(docs, root,
                         IndexParams(docs_per_shard=2000, n_buckets=8,
@@ -233,6 +259,19 @@ def q_bm25_served(spark, sf_dir):
 
 BATCH_QUERIES = [("qa", QUERY_MAIN), ("qb", "table scan merge"),
                  ("qc", "slow part history")]
+
+
+def q_bm25_page2(spark, sf_dir):
+    """Page 2 of the SERP (offset/pagination — Fetch(number, offset),
+    search/elasticsearch.go:29,66; page math frontend/search.go:455):
+    indexed path with k=10 offset=10 vs LIMIT 10 OFFSET 10 in SQL."""
+    from jivesearch_spark.query import IndexReader, bm25_topk_indexed
+
+    reader = IndexReader(spark, _ensure_index(spark, sf_dir))
+    out = bm25_topk_indexed(reader, QUERY_MAIN, k=10, use_wand=True,
+                            offset=10)
+    return out.select(F.col("docid").alias("doc_id"),
+                      F.round("score", 4).alias("score"))
 
 
 def q_bm25_batch(spark, sf_dir):
@@ -723,6 +762,25 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
+def q_minhash_recall(spark, sf_dir):
+    """Recall gate for the banded-LSH scale path: candidates from
+    minhash_lsh_pairs (est ≥ 0.35, band-bucket cap ON) must cover
+    ≥ 90% of the EXACT n-gram-Jaccard ≥ 0.5 pairs. n_exact is
+    SQL-verified by the oracle; recall_ok is the measured gate."""
+    from jivesearch_spark.tdp import dedup
+    docs = _docs(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                      max_shingle_df=10**9).select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                                  threshold=0.35,
+                                  max_bucket_size=1000).select("id_a", "id_b")
+    n_exact = exact.count()
+    n_found = exact.join(lsh, ["id_a", "id_b"], "left_semi").count()
+    ok = (n_found >= 0.9 * n_exact) if n_exact else True
+    return spark.createDataFrame([(n_exact, ok)],
+                                 "n_exact long, recall_ok boolean")
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     from jivesearch_spark.tdp import dedup
     d = _docs(spark, sf_dir)
@@ -829,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_fielded_indexed": q_bm25_fielded_indexed,
         "bm25_indexed": q_bm25_indexed,
         "bm25_served": q_bm25_served,
+        "bm25_page2": q_bm25_page2,
         "bm25_batch": q_bm25_batch,
         "term_stats": q_term_stats,
         "doc_lengths": q_doc_lengths,
@@ -870,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_claims_join": q_wiki_claims_join,
         "wiki_disambiguation": q_wiki_disambiguation,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_recall": q_minhash_recall,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -942,9 +1002,10 @@ def oracle_sql() -> dict[str, str]:
     terms_msm = sorted(set(analyze.py_tokens(QUERY_MSM)))
     msm_req = bm25.msm_required(len(terms_msm))
 
-    def bm25_sql(terms, msm=0):
+    def bm25_sql(terms, msm=0, offset=0):
         tl = _terms_sql(terms)
         having = f"HAVING count(DISTINCT t.term) >= {msm}" if msm else ""
+        page = f" OFFSET {offset}" if offset else ""
         return f"""
 WITH toks AS ({SQL_TOKS}),
 tfl AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
@@ -961,7 +1022,7 @@ scored AS (
   FROM tfg t JOIN dfreq d ON t.term = d.term CROSS JOIN stats s
   GROUP BY t.doc_id {having.replace('HAVING', 'HAVING')})
 SELECT doc_id, round(raw, 4) AS score FROM scored
-ORDER BY round(raw, 9) DESC, doc_id LIMIT 10"""
+ORDER BY round(raw, 9) DESC, doc_id LIMIT 10{page}"""
 
     sql = {
         "bm25_topk": bm25_sql(terms_main),
@@ -970,6 +1031,7 @@ ORDER BY round(raw, 9) DESC, doc_id LIMIT 10"""
         "bm25_fielded_indexed": _fielded_sql(),
         "bm25_indexed": bm25_sql(terms_main),
         "bm25_served": bm25_sql(terms_main),
+        "bm25_page2": bm25_sql(terms_main, offset=10),
         "bm25_batch": "\nUNION ALL\n".join(
             f"SELECT '{qid}' AS qid, * FROM ({bm25_sql(sorted(set(analyze.py_tokens(q))))})"
             for qid, q in BATCH_QUERIES),
@@ -1193,6 +1255,20 @@ FROM f""",
         "media_decode": _media_decode_sql(),
         "frame_sample": _frame_sample_sql(),
         "extract_pages": _extract_pages_sql(),
+        "minhash_recall": f"""
+WITH toks AS ({SQL_TOKS}),
+sh AS (SELECT doc_id,
+              list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                             for i in range(1, len(tk) - 1)]) AS s
+       FROM toks WHERE len(tk) >= 3),
+ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT count(*) AS n_exact, true AS recall_ok
+FROM inter
+JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+WHERE c / (len(sa.s) + len(sb.s) - c) >= 0.5""",
         "wiki_item_join": _wiki_sql(WIKI_ITEM_SQL),
         "wiki_claims_join": _wiki_sql(WIKI_CLAIMS_SQL),
         "wiki_disambiguation": _wiki_sql(WIKI_DISAMBIG_SQL),

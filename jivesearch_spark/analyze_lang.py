@@ -23,7 +23,7 @@ prefix strip); CJK mirrors ES's ``cjk`` analyzer (character bigrams)
 and Thai — segmented by ICU in ES, unavailable here — is pinned as
 the same run-bigram scheme over the Thai block.  The default
 "standard" profile in analyze.py remains the v1 scorer's analyzer
-(ASCII, DuckDB-replayable); lang-v1 is the opt-in fielded profile.
+(ASCII, DuckDB-replayable); the pinned lang profile (LANG_PROFILE) is the opt-in fielded alternative.
 
 Per the input-hint, the Spark path is a vectorized Arrow pandas UDF
 (mapInArrow-style batches; the per-token dict/regex work is Python but
@@ -199,7 +199,7 @@ def porter_stem(w: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# light stemmers + stopwords (pinned lang-v1 rules)
+# light stemmers + stopwords (pinned lang-profile rules)
 # ---------------------------------------------------------------------------
 
 def _light_stem(suffixes: tuple[str, ...], min_len: int = 4):
@@ -229,7 +229,7 @@ STOP_PT = frozenset("o a os as de que e do da em um uma para com não por se"
 _IDENT = lambda w: w  # noqa: E731
 
 #: Unicode word tokenizer (letters+digits runs, underscore excluded) —
-#: the lang-v1 analog of Lucene's StandardTokenizer
+#: the pinned lang-profile analog of Lucene's StandardTokenizer
 _UNI_TOKEN = re.compile(r"[^\W_]+", re.UNICODE)
 
 
@@ -400,7 +400,7 @@ def _cjk_tokens(text: str) -> list[str]:
 
 
 def py_tokens_lang(text: str, analyzer: str = "english") -> list[str]:
-    """The ONE lang-v1 pipeline (drives both the oracle and the UDF)."""
+    """The ONE pinned lang-profile pipeline (drives both the oracle and the UDF)."""
     if analyzer == "cjk":
         return _run_bigrams(text or "", _CJK)
     if analyzer == "thai":

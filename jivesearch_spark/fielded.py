@@ -264,9 +264,12 @@ def _score_from_arrays(arrays, plan, k, msm_req):
 
 def bm25_fielded_indexed(reader: FieldedReader, query: str, k: int = 10,
                          shingles: bool = True, tld_boost: str | None = None,
-                         min_should_match: bool = True) -> DataFrame:
+                         min_should_match: bool = True,
+                         offset: int = 0) -> DataFrame:
     """Indexed SERP query → (doc_id [url], score), rank-identical to
-    `bm25.bm25_fielded_topk` over the same base."""
+    `bm25.bm25_fielded_topk` over the same base. ``offset`` pages past
+    the first ranks (Fetch(number, offset), search/elasticsearch.go:66;
+    kernels fetch top-(offset+k), the merge skips ``offset``)."""
     spark = reader.spark
     empty = spark.createDataFrame([], "doc_id string, score double")
     plan = _query_plan(reader, query, tld_boost)
@@ -298,7 +301,7 @@ def bm25_fielded_indexed(reader: FieldedReader, query: str, k: int = 10,
     for fr in frames[1:]:
         blocks = blocks.unionByName(fr)
 
-    plan_b, kk = plan, k
+    plan_b, kk = plan, k + max(0, offset)
 
     def _kernel(pdf):
         import pandas as pd
@@ -307,9 +310,11 @@ def bm25_fielded_indexed(reader: FieldedReader, query: str, k: int = 10,
 
     per_shard = blocks.groupBy("shard").applyInPandas(
         _kernel, schema="docid long, score double")
-    topk = (per_shard
-            .orderBy(F.round(F.col("score"), 9).desc(), F.asc("docid"))
-            .limit(k))
+    topk = per_shard.orderBy(F.round(F.col("score"), 9).desc(),
+                             F.asc("docid"))
+    if offset > 0:
+        topk = topk.offset(offset)
+    topk = topk.limit(k)
     # docid → url (docids are url-rank, so the docid tie-break already
     # equals the url tie-break; the join is only for display identity)
     return (topk.join(reader.doc_meta, "docid")
@@ -387,7 +392,8 @@ class FieldedLocalIndex:
 
     def topk(self, query: str, k: int = 10, shingles: bool = True,
              tld_boost: str | None = None,
-             min_should_match: bool = True) -> list[tuple[str, float]]:
+             min_should_match: bool = True,
+             offset: int = 0) -> list[tuple[str, float]]:
         import pyarrow.dataset as ds
         plan = _query_plan(self, query, tld_boost)
         if plan is None:
@@ -441,7 +447,9 @@ class FieldedLocalIndex:
             self._cached_postings -= int(old["docids"].size)
         if not arrays:
             return []
-        docids, scores = _score_from_arrays(arrays, plan, k, req)
+        docids, scores = _score_from_arrays(arrays, plan,
+                                            k + max(0, offset), req)
+        docids, scores = docids[offset:], scores[offset:]
         if not docids.size:
             return []
         urls = self._url_of(docids)

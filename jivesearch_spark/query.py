@@ -44,11 +44,15 @@ def analyze_query(man: Manifest, query: str) -> list[str]:
     from . import analyze_lang
     # an index built under a different pinned lang profile would be
     # silently unsearchable (doc tokens ≠ query tokens) — fail loudly.
-    # "" = manifest predates profile recording; accepted as current.
+    # "" (a pre-versioning manifest) is ALSO a mismatch: every lang
+    # index built before profile recording used the v1 ASCII tokenizer
+    # this chain replaced, so accepting it silently would reproduce
+    # exactly the failure mode this guard exists to prevent.
     prof = man.params.get("analyzer_profile", "")
-    if prof and prof != analyze_lang.LANG_PROFILE:
+    if prof != analyze_lang.LANG_PROFILE:
         raise ValueError(
-            f"index was built with analyzer profile {prof!r}; this build "
+            f"index was built with analyzer profile "
+            f"{prof or '(pre-versioning, lang-v1)'!r}; this build "
             f"analyzes queries with {analyze_lang.LANG_PROFILE!r} — "
             "rebuild the index or pin the matching version")
     return analyze_lang.py_tokens_lang(query, an)
@@ -90,8 +94,15 @@ class IndexReader:
 
 def bm25_topk_indexed(reader: IndexReader, query: str, k: int = 10,
                       use_wand: bool = True,
-                      min_should_match: bool = False) -> DataFrame:
-    """Top-k over the compressed index; returns (docid, score)."""
+                      min_should_match: bool = False,
+                      offset: int = 0) -> DataFrame:
+    """Top-k over the compressed index; returns (docid, score).
+
+    ``offset`` pages past the first ``offset`` ranks (the reference's
+    Fetch(number, offset) — search/elasticsearch.go:29,66; page math in
+    paging.offset_for): kernels fetch top-(offset+k) per shard, the
+    global merge then skips ``offset`` rows — no rescan per page.
+    """
     q_terms = sorted(set(analyze_query(reader.man, query)))
     spark = reader.spark
     empty = spark.createDataFrame([], "docid long, score double")
@@ -115,7 +126,7 @@ def bm25_topk_indexed(reader: IndexReader, query: str, k: int = 10,
 
     idf_b = idf  # closure
     wand = use_wand
-    kk = k
+    kk = k + max(0, offset)   # ranks ≤ offset+k live in per-shard top-(offset+k)
 
     def _score_shard(pdf):
         import pandas as pd
@@ -125,7 +136,10 @@ def bm25_topk_indexed(reader: IndexReader, query: str, k: int = 10,
     per_shard = blocks.groupBy("shard").applyInPandas(
         _score_shard, schema="docid long, score double")
 
-    return per_shard.orderBy(F.round(F.col("score"), 9).desc(), F.asc("docid")).limit(k)
+    out = per_shard.orderBy(F.round(F.col("score"), 9).desc(), F.asc("docid"))
+    if offset > 0:
+        out = out.offset(offset)
+    return out.limit(k)
 
 
 def _decode_term_arrays(pdf, idf: dict, k1: float, b: float,
@@ -247,7 +261,8 @@ def _topk_from_terms(terms: dict, k: int, msm_req: int, use_wand: bool):
 
 def bm25_topk_batch(reader: IndexReader, queries: list[tuple[str, str]],
                     k: int = 10, use_wand: bool = True,
-                    min_should_match: bool = False) -> DataFrame:
+                    min_should_match: bool = False,
+                    offset: int = 0) -> DataFrame:
     """Answer MANY queries in ONE Spark job → (qid, docid, score).
 
     The analytics flavor of the query engine (replay a whole query log
@@ -285,7 +300,7 @@ def bm25_topk_batch(reader: IndexReader, queries: list[tuple[str, str]],
 
     qterms_b = analyzed  # closures (broadcast by task serialization)
     reqs_b = reqs
-    wand, kk = use_wand, k
+    wand, kk = use_wand, k + max(0, offset)
 
     def _score_shard_batch(pdf):
         import pandas as pd
@@ -313,4 +328,5 @@ def bm25_topk_batch(reader: IndexReader, queries: list[tuple[str, str]],
     w = Window.partitionBy("qid").orderBy(
         F.round(F.col("score"), 9).desc(), F.asc("docid"))
     return (per_shard.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= k).drop("__rn"))
+            .where((F.col("__rn") > offset) & (F.col("__rn") <= offset + k))
+            .drop("__rn"))

@@ -91,13 +91,18 @@ class LocalIndex:
 
     # -- query ------------------------------------------------------------
     def topk(self, query: str, k: int = 10, use_wand: bool = True,
-             min_should_match: bool = False) -> list[tuple[int, float]]:
-        """Top-k (docid, score); rank-identical to the Spark path."""
-        return self.topk_batch([query], k, use_wand, min_should_match)[query]
+             min_should_match: bool = False,
+             offset: int = 0) -> list[tuple[int, float]]:
+        """Top-k (docid, score); rank-identical to the Spark path.
+        ``offset`` skips the first ranks (Fetch(number, offset) —
+        search/elasticsearch.go:29,66)."""
+        return self.topk_batch([query], k, use_wand, min_should_match,
+                               offset)[query]
 
     def topk_batch(self, queries: list[str], k: int = 10,
                    use_wand: bool = True,
-                   min_should_match: bool = False):
+                   min_should_match: bool = False,
+                   offset: int = 0):
         """Serve many queries with ONE pruned postings read (shared
         scan for the union of terms), then per-query kernels — the
         shape of a batched serving tier."""
@@ -148,6 +153,7 @@ class LocalIndex:
                 continue
             req = bm25.msm_required(len(q_terms)) if min_should_match else 0
             d, s = _topk_from_terms({t: arrays[t] for t in present},
-                                    k, req, use_wand)
-            out[q] = [(int(di), float(si)) for di, si in zip(d, s)]
+                                    k + max(0, offset), req, use_wand)
+            out[q] = [(int(di), float(si))
+                      for di, si in zip(d[offset:], s[offset:])]
         return out

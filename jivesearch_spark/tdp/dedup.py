@@ -151,12 +151,23 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                       n: int = 3, threshold: float = 0.5,
                       id_col: str = "doc_id", text_col: str = "text",
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, max_bucket_size: int | None = 1000,
+                      log=None) -> DataFrame:
     """Candidate pairs via banding + signature-similarity estimate.
 
     Returns (id_a, id_b, est_jaccard) where est = fraction of agreeing
     minhashes, filtered at ``threshold``. Sub-quadratic: only docs
     sharing a band bucket are compared.
+
+    ``max_bucket_size`` caps pathological band buckets: a bucket of
+    size s expands to s(s-1)/2 candidate pairs, so one degenerate
+    bucket (e.g. every empty-text doc shares the sentinel signature,
+    or a boilerplate band at web scale) is a quadratic blow-up.
+    Buckets larger than the cap are dropped from candidate generation
+    — their members still pair through their other ``bands-1`` bands
+    unless they are degenerate in every band, which only near-universal
+    boilerplate is. Pass ``log`` to report how many buckets/rows were
+    dropped (costs one extra count job; None keeps the plan lazy).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, seed).cache()
@@ -167,6 +178,23 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
                         lambda i: F.slice("sig", i * rows + 1, rows))
         ).alias("band", "band_sig"),
     ).withColumn("bh", F.hash("band_sig"))
+    if max_bucket_size:
+        # one extra shuffle over (band, bh) rows — tiny next to the
+        # self-join it protects; oversized-bucket list is small by
+        # construction (≤ n_rows/max_bucket_size entries) → broadcast
+        big = (banded.groupBy("band", "bh")
+               .agg(F.count(F.lit(1)).alias("__sz"))
+               .where(F.col("__sz") > max_bucket_size))
+        if log is not None:
+            dropped = big.agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.sum("__sz").alias("rows")).collect()[0]
+            if dropped["buckets"]:
+                log(f"[minhash-lsh] dropped {dropped['buckets']} band "
+                    f"buckets (> {max_bucket_size} rows; {dropped['rows']} "
+                    "rows) from candidate generation")
+        banded = banded.join(F.broadcast(big.select("band", "bh")),
+                             ["band", "bh"], "left_anti")
     cands = (
         banded.alias("a").join(
             banded.alias("b"),

@@ -1,4 +1,4 @@
-"""Per-language analyzer chains (lang-v1 profile).
+"""Per-language analyzer chains (the pinned LANG_PROFILE).
 
 Mirrors the reference's one-ES-index-per-language-analyzer design
 (document/elasticsearch.go:205-289): lang tag resolution walks parent
@@ -104,7 +104,7 @@ def test_unknown_analyzer_is_identity():
 
 
 def test_unicode_tokenization():
-    # lang-v1 tokenizes Unicode word runs (Lucene StandardTokenizer
+    # the pinned profile tokenizes Unicode word runs (Lucene StandardTokenizer
     # shape); underscore is a delimiter, accents are letters
     assert al.py_tokens_lang("café_crème №42", "icelandic") == \
         ["café", "crème", "42"]

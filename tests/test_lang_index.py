@@ -1,4 +1,4 @@
-"""Language-analyzer index profile (lang-v1) gate.
+"""Language-analyzer index profile (pinned LANG_PROFILE) gate.
 
 Stemmed tokens are pure [a-z0-9]+ strings, so an index built with
 `analyzer="english"` must be posting-identical to a standard index
@@ -105,3 +105,39 @@ def test_merge_inherits_analyzer(spark, built, tmp_path):
     want = [(r.docid, round(r.score, 9)) for r in
             bm25_topk_indexed(r_full, q, 10).collect()]
     assert got and got == want
+
+
+@pytest.mark.spark
+def test_profile_mismatch_fails_loudly(spark, built, tmp_path):
+    """A lang index whose manifest records a different analyzer
+    profile — or NONE ("" = pre-versioning, by definition built with
+    the replaced v1 tokenizer) — must refuse queries instead of
+    silently returning wrong/empty results."""
+    import json
+    import os
+    import shutil
+
+    root_en, root_std = built
+    for bad_prof in ["lang-v0", ""]:
+        tampered = str(tmp_path / f"tampered_{bad_prof or 'empty'}")
+        shutil.copytree(root_en, tampered)
+        mp = os.path.join(tampered, "manifest.json")
+        with open(mp) as fh:
+            man = json.load(fh)
+        man["params"]["analyzer_profile"] = bad_prof
+        with open(mp, "w") as fh:
+            json.dump(man, fh)
+        reader = IndexReader(spark, tampered)
+        with pytest.raises(ValueError, match="analyzer profile"):
+            bm25_topk_indexed(reader, "customer", 10)
+    # the standard analyzer is profile-independent: "" stays queryable
+    tampered_std = str(tmp_path / "tampered_std")
+    shutil.copytree(root_std, tampered_std)
+    mp = os.path.join(tampered_std, "manifest.json")
+    with open(mp) as fh:
+        man = json.load(fh)
+    man["params"]["analyzer_profile"] = ""
+    with open(mp, "w") as fh:
+        json.dump(man, fh)
+    reader = IndexReader(spark, tampered_std)
+    assert bm25_topk_indexed(reader, "customer", 10).count() >= 0

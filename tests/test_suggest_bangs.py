@@ -121,3 +121,55 @@ def test_bang_queries_batch(spark):
     assert out["!g bob"]["triggered"] and out["!g bob"]["bang_name"] == "Google"
     assert not out["plain search"]["triggered"]
     assert out["!w bob marley"]["location"].endswith("Bob_Marley")
+
+
+# ---------------------------------------------------------------------------
+# Full public datasets through the loaders (reference snapshot data,
+# read at test time — the repo ships loaders + a fresh built-in subset)
+# ---------------------------------------------------------------------------
+
+REF_NAUGHTY = "/root/reference/suggest/naughty.txt"
+REF_BANGS = "/root/reference/bangs/bangs.toml"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_NAUGHTY),
+                    reason="reference snapshot not mounted")
+def test_full_naughty_list_loads_and_filters():
+    from jivesearch_spark.suggest import load_naughty
+    full = load_naughty(REF_NAUGHTY)
+    # 2,575 lines; comments/duplicates collapse to ~2.5k lowercase terms
+    assert len(full) > 2400
+    assert is_naughty("free porn videos", full)
+    assert is_naughty("PORNHUB hd", full)          # case-insensitive substring
+    assert not is_naughty("bob dylan discography", full)
+    # the freshly-written built-in subset overlaps the reference list
+    # heavily but is NOT a copy of it — substantial overlap is the
+    # expected relationship, identity is not
+    from jivesearch_spark.suggest import NAUGHTY
+    overlap = sum(1 for t in NAUGHTY if is_naughty(t, full))
+    assert overlap >= len(NAUGHTY) * 2 // 3
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_BANGS),
+                    reason="reference snapshot not mounted")
+def test_full_bangs_corpus_loads_and_dispatches():
+    from jivesearch_spark.bangs import load_toml
+    full = load_toml(REF_BANGS)
+    assert len(full) == 7438                        # every [[bang]] stanza
+    bb = Bangs(full)
+    assert len(bb.by_trigger) > 8000
+    # known providers dispatch with the real region tables
+    b, loc, ok = bb.detect("!g bob dylan")
+    assert ok and b.name == "Google" and "q=bob+dylan" in loc
+    b, loc, ok = bb.detect("!w bob marley")
+    assert ok and loc.endswith("/Bob_Marley")       # wikipediaCanonical fn
+    b, loc, ok = bb.detect("!500 cats")
+    assert ok and b.name == "500px" and "500px.com" in loc
+    # region fallback: fr-specific URL wins over default for Amazon
+    _, loc_fr, _ = bb.detect("!a shoes", region="fr")
+    _, loc_us, _ = bb.detect("!a shoes", region="US")
+    assert "amazon.fr" in loc_fr and "amazon.com" in loc_us
+    # trigger-prefix suggest over the full corpus stays bounded
+    hits = bb.suggest("!wiki", size=10)
+    assert 0 < len(hits) <= 10
+    assert all(h["trigger"].startswith("wiki") for h in hits)

@@ -76,6 +76,39 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
 
 
 @pytest.mark.spark
+def test_minhash_band_bucket_cap(spark, docs):
+    """Degenerate band buckets (here: 30 empty-text docs all sharing
+    the sentinel signature) are dropped from candidate generation when
+    they exceed max_bucket_size, while genuine near-dups keep pairing;
+    the drop is reported through the log callback."""
+    empties = spark.createDataFrame(
+        [(10_000 + i, "") for i in range(30)], "doc_id long, text string")
+    base = docs.select("doc_id", "text").limit(3)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 500_000)
+    corpus = base.unionByName(dup).unionByName(empties)
+
+    uncapped = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        corpus, num_hashes=64, bands=16, threshold=0.9,
+        max_bucket_size=None).collect()}
+    # empty-empty pairs estimate at 1.0 — present without the cap
+    assert any(a >= 10_000 and b >= 10_000 and b < 500_000
+               for a, b in uncapped)
+
+    logs = []
+    capped = {(r.id_a, r.id_b) for r in dedup.minhash_lsh_pairs(
+        corpus, num_hashes=64, bands=16, threshold=0.9,
+        max_bucket_size=10, log=logs.append).collect()}
+    # the 30-doc sentinel bucket (> cap in every band) no longer
+    # generates its quadratic 435 pairs …
+    assert not any(a >= 10_000 and b >= 10_000 and b < 500_000
+                   for a, b in capped)
+    # … but exact duplicates still pair through their (small) buckets
+    assert all((d, d + 500_000) in capped for d in
+               [r.doc_id for r in base.collect()])
+    assert logs and "dropped" in logs[0]
+
+
+@pytest.mark.spark
 def test_simhash_identical_docs_collide(spark, docs):
     two = docs.limit(1).unionByName(
         docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000))
