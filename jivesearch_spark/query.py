@@ -173,11 +173,265 @@ def _decode_term_arrays(pdf, idf: dict, k1: float, b: float,
 
 
 def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
-                    k: int, msm_req: int, use_wand: bool):
+                    k: int, msm_req: int, use_wand: bool,
+                    stats: dict | None = None):
     """Vectorized per-shard kernel. Returns (docids, scores) of the
-    local top-k (score-neutral under pruning)."""
+    local top-k (score-neutral under pruning).
+
+    With ``use_wand`` the lazy block-max kernel runs: blocks are
+    decoded only when an interval's upper bound can still beat the
+    running top-k threshold, so head-term cost is sublinear in df
+    (true DAAT-style in-list skipping, at block granularity). Without
+    it, every block decodes and every candidate is scored exactly —
+    the oracle the rank-identity gates compare against.
+    """
+    if use_wand:
+        tb = _term_block_meta(pdf, idf)
+        return _topk_blockmax_lazy(tb, k, msm_req, k1, b, avgdl, stats=stats)
     terms = _decode_term_arrays(pdf, idf, k1, b, avgdl)
     return _topk_from_terms(terms, k, msm_req, use_wand)
+
+
+def _term_block_meta(pdf, idf: dict) -> dict:
+    """Group a postings frame into per-term RAW block metadata — no
+    decode. Sorted (term, shard, block_id) like _decode_term_arrays,
+    so each term's block ordinals are docid-ordered and disjoint
+    (shard ranges partition the docid space in shard order)."""
+    keys = (["term", "shard", "block_id"] if "shard" in pdf.columns
+            else ["term", "block_id"])
+    pdf = pdf.sort_values(keys, kind="mergesort")
+    out = {}
+    for term, g in pdf.groupby("term", sort=True):
+        out[term] = {
+            "first": g["first_docid"].values.astype(np.int64),
+            "last": g["last_docid"].values.astype(np.int64),
+            "nd": g["n_docs"].values.astype(np.int64),
+            "ub": g["max_score_ub"].values.astype(np.float64),
+            "deltas": g["deltas"].tolist(),
+            "tfs": g["tfs"].tolist(),
+            "dls": g["dls"].tolist(),
+            "w": idf[term],
+        }
+    return out
+
+
+# rounding slack: the final rank uses round(score, 9), so an interval is
+# only provably useless when its bound is below θ by more than the
+# rounding quantum — keeps pruning rank-identical even at round() ties.
+_WAND_SLACK = 1e-9
+
+
+def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
+                        k1: float, b: float, avgdl: float,
+                        stats: dict | None = None):
+    """Lazy block-max top-k (score-neutral, rank-identical to brute).
+
+    Vectorized equivalent of DAAT block-max WAND's in-list skipping
+    (Ding & Suel, "Faster top-k document retrieval using block-max
+    indexes", SIGIR'11), reshaped for batch numpy instead of pointer
+    chasing:
+
+    * every unscored doc d in block B of term t obeys
+      ``score(d) ≤ ub(B) + Σ_{t'≠t, t' not exhausted} max_ub(t')``
+      (an *exhausted* term — all blocks decoded, all docs scored —
+      cannot contribute to a doc that is still unscored);
+    * blocks are visited in descending order of that bound, in growing
+      batches; only visited blocks *generate candidates*, and
+      candidates are scored exactly by probing every term with
+      decode-on-demand of just the covering blocks;
+    * the running k-th best θ retires every remaining block whose
+      bound falls below it — those blocks are never decoded.
+
+    Small lists exhaust in the first waves (their blocks carry the
+    highest own-ub), which collapses the bound for head-term blocks;
+    a head term's tail blocks are then retired wholesale without
+    decode — the cost is sublinear in head-term df whenever θ
+    separates from the head term's block maxima. A degenerate flat
+    corpus (every block bound ≈ θ) decodes everything, which is
+    exactly the brute-force floor.
+    """
+    zero = (np.empty(0, dtype=np.int64), np.empty(0))
+    terms = sorted(tb)
+    if not terms:
+        return zero
+    nt = len(terms)
+    max_ub = np.array([float(tb[t]["ub"].max()) for t in terms])
+    dfs_of = np.array([int(tb[t]["nd"].sum()) for t in terms])
+    blocks_of = np.array([tb[t]["ub"].size for t in terms])
+
+    # ---- flat block table across terms ----
+    b_term = np.repeat(np.arange(nt), blocks_of)
+    b_ord = np.concatenate([np.arange(n) for n in blocks_of])
+    b_ub = np.concatenate([tb[t]["ub"] for t in terms])
+    remaining = np.ones(b_term.size, dtype=bool)   # not yet visited/retired
+    n_left = blocks_of.copy()                      # unvisited blocks per term
+    exhausted = np.zeros(nt, dtype=bool)
+
+    # ---- lazy decoded-block store ----
+    seg = {t: {} for t in terms}    # ordinal -> (docids, scores)
+    cat = {t: None for t in terms}  # concatenated decoded (docids, scores)
+    n_decoded = 0
+
+    def ensure(ti, ords):
+        nonlocal n_decoded
+        t = terms[ti]
+        d = tb[t]
+        new = [int(o) for o in np.unique(ords) if int(o) not in seg[t]]
+        if not new:
+            return
+        na = np.asarray(new, dtype=np.int64)
+        dd, tf, dl = codec.decode_blocks_concat(
+            [d["deltas"][o] for o in new], [d["tfs"][o] for o in new],
+            [d["dls"][o] for o in new], d["nd"][na])
+        tf = tf.astype(np.float64)
+        dl = dl.astype(np.float64)
+        sc = d["w"] * tf * (k1 + 1.0) / (
+            tf + k1 * (1.0 - b + b * dl / max(avgdl, 1e-9)))
+        offs = np.concatenate([[0], np.cumsum(d["nd"][na])])
+        for i, o in enumerate(new):
+            seg[t][o] = (dd[offs[i]:offs[i + 1]], sc[offs[i]:offs[i + 1]])
+        n_decoded += len(new)
+        os_ = sorted(seg[t])   # ordinal order == docid order (disjoint ranges)
+        cat[t] = (np.concatenate([seg[t][o][0] for o in os_]),
+                  np.concatenate([seg[t][o][1] for o in os_]))
+
+    def probe(ti, cand):
+        """Exact per-term contributions for sorted unique ``cand``,
+        decoding only the blocks that cover a candidate."""
+        t = terms[ti]
+        d = tb[t]
+        j = np.searchsorted(d["first"], cand, side="right") - 1
+        jc = np.clip(j, 0, d["first"].size - 1)
+        covered = (j >= 0) & (cand <= d["last"][jc])
+        if covered.any():
+            ensure(ti, jc[covered])
+        cd_cs = cat[t]
+        if cd_cs is None or cd_cs[0].size == 0:
+            return np.zeros(cand.size), np.zeros(cand.size, dtype=bool)
+        cd, cs = cd_cs
+        pos = np.searchsorted(cd, cand)
+        pos_c = np.minimum(pos, cd.size - 1)
+        hit = cd[pos_c] == cand
+        return np.where(hit, cs[pos_c], 0.0), hit
+
+    # ---- descending-bound wave sweep ----
+    got_d, got_s, got_m = [], [], []
+    scored = np.empty(0, dtype=np.int64)   # sorted docids scored so far
+    n_ok = 0                               # msm-eligible scored so far
+    theta = -np.inf
+    batch = 8
+    while remaining.any():
+        if msm_req and int((~exhausted).sum()) < msm_req:
+            break   # docs outside every exhausted list can't reach msm
+        # per-term bound contribution: max ub over UNVISITED blocks —
+        # a visited block's docs are all scored, so an unscored doc's
+        # covering block in any term is necessarily unvisited
+        mu = np.zeros(nt)
+        for ti in np.unique(b_term[remaining]):
+            mu[ti] = b_ub[remaining & (b_term == ti)].max()
+        prio = b_ub + (mu.sum() - mu[b_term])
+        live = remaining & (prio >= theta - _WAND_SLACK)
+        if not live.any():
+            break
+        # bailout: θ is set yet barely prunes anything while most of
+        # the index is still unvisited — the bound distribution is too
+        # flat for θ to separate (the brute-force regime); finish in
+        # one vectorized pass instead of paying per-wave bookkeeping
+        # for no skips
+        n_rem = int(remaining.sum())
+        if (np.isfinite(theta) and n_rem > 0.5 * b_term.size
+                and int(live.sum()) > 0.95 * n_rem):
+            for ti in range(nt):
+                ensure(ti, np.arange(blocks_of[ti]))
+            cand = np.unique(np.concatenate([cat[t][0] for t in terms]))
+            if scored.size:
+                pos = np.minimum(np.searchsorted(scored, cand),
+                                 scored.size - 1)
+                cand = cand[scored[pos] != cand]
+            if cand.size:
+                total = np.zeros(cand.size)
+                matched = np.zeros(cand.size, dtype=np.int32)
+                for ti in range(nt):
+                    contrib, hit = probe(ti, cand)
+                    total += contrib
+                    matched += hit.astype(np.int32)
+                got_d.append(cand)
+                got_s.append(total)
+                got_m.append(matched)
+            break
+        # cheap-exhaust: fully visiting a nearly-done list zeroes its
+        # mu, collapsing every other term's bound — the lever that
+        # lets a rare strong term stop poisoning head-block bounds
+        cheap = [ti for ti in np.argsort(n_left, kind="stable")
+                 if 0 < n_left[ti] <= batch]
+        take_mask = np.zeros(b_term.size, dtype=bool)
+        tot = 0
+        for ti in cheap:
+            if tot and tot + n_left[ti] > 2 * batch:
+                break
+            take_mask |= remaining & (b_term == ti)
+            tot += int(n_left[ti])
+        if tot == 0:
+            # priority fill: bound desc, small-df terms first on ties
+            idxs = np.flatnonzero(live)
+            key = np.lexsort((b_ord[idxs], b_term[idxs],
+                              dfs_of[b_term[idxs]], -prio[idxs]))
+            take_mask[idxs[key[:batch]]] = True
+        take = np.flatnonzero(take_mask)
+        remaining[take] = False
+        cands = []
+        for ti in np.unique(b_term[take]):
+            ords = b_ord[take[b_term[take] == ti]]
+            ensure(ti, ords)
+            t = terms[ti]
+            cands.extend(seg[t][int(o)][0] for o in ords)
+            n_left[ti] -= ords.size
+            if n_left[ti] == 0:
+                exhausted[ti] = True
+        cand = np.unique(np.concatenate(cands))
+        if scored.size:
+            pos = np.searchsorted(scored, cand)
+            pos_c = np.minimum(pos, scored.size - 1)
+            cand = cand[scored[pos_c] != cand]
+        batch = min(batch * 2, 512)
+        if cand.size == 0:
+            continue
+        total = np.zeros(cand.size)
+        matched = np.zeros(cand.size, dtype=np.int32)
+        for ti in range(nt):       # fixed accumulation order (determinism)
+            contrib, hit = probe(ti, cand)
+            total += contrib
+            matched += hit.astype(np.int32)
+        got_d.append(cand)
+        got_s.append(total)
+        got_m.append(matched)
+        scored = np.union1d(scored, cand)
+        n_ok += int((matched >= msm_req).sum()) if msm_req else cand.size
+        if n_ok >= k:
+            alls = np.concatenate(got_s)
+            if msm_req:
+                allm = np.concatenate(got_m)
+                sc_pool = alls[allm >= msm_req]
+            else:
+                sc_pool = alls
+            theta = np.partition(sc_pool, -k)[-k]
+
+    if stats is not None:
+        stats["blocks_decoded"] = n_decoded
+        stats["blocks_total"] = int(blocks_of.sum())
+
+    if not got_d:
+        return zero
+    cand = np.concatenate(got_d)
+    total = np.concatenate(got_s)
+    if msm_req:
+        okm = np.concatenate(got_m) >= msm_req
+        cand, total = cand[okm], total[okm]
+    if cand.size == 0:
+        return zero
+    kloc = min(k, cand.size)
+    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
+    return cand[idx].astype(np.int64), total[idx]
 
 
 def _topk_from_terms(terms: dict, k: int, msm_req: int, use_wand: bool):

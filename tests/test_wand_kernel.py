@@ -1,0 +1,131 @@
+"""Lazy block-max WAND kernel: rank identity vs brute + decode skipping.
+
+Pure-numpy tests (no Spark session) over synthetic posting frames —
+the kernel is the same code the Spark applyInPandas path runs per
+shard, so these gates are the fast inner loop of the rank-identity
+guarantee (the Spark-level gates live in test_index.py/test_serve.py).
+
+Reference parity: the reference's query path delegates top-k scoring
+to Elasticsearch/Lucene (search/elasticsearch.go:66), whose scorer is
+a DAAT block-max WAND (public Lucene WANDScorer); this kernel is the
+vectorized equivalent (Ding & Suel, SIGIR'11).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jivesearch_spark import bm25, codec
+from jivesearch_spark.query import _score_shard_np
+
+K1, B, AVGDL = 1.2, 0.75, 90.0
+
+
+def _make_pdf(rng, n_docs, spec, idf, zipf=False, shards=1):
+    rows = []
+    dls = rng.integers(5, 200, size=n_docs + 1)
+    bounds = np.linspace(0, n_docs, shards + 1).astype(np.int64)
+    for term, df_ in spec.items():
+        docids = np.sort(rng.choice(n_docs, size=df_, replace=False)).astype(np.int64)
+        tfs = (np.minimum(rng.zipf(1.6, size=df_), 50) if zipf
+               else rng.integers(1, 8, size=df_)).astype(np.int64)
+        dl = dls[docids].astype(np.int64)
+        for s in range(shards):
+            m = (docids >= bounds[s]) & (docids < bounds[s + 1])
+            if not m.any():
+                continue
+            for blk in codec.encode_blocks(docids[m], tfs[m], dl[m],
+                                           idf[term], K1, B, AVGDL):
+                blk["term"] = term
+                blk["shard"] = s
+                rows.append(blk)
+    return pd.DataFrame(rows)
+
+
+def test_lazy_kernel_rank_identical_to_brute():
+    rng = np.random.default_rng(7)
+    n_docs, fails = 20000, []
+    for trial in range(12):
+        n_terms = int(rng.integers(1, 6))
+        spec = {f"t{i}": int(rng.integers(3, n_docs // 2))
+                for i in range(n_terms)}
+        idf = {t: float(bm25.idf(n_docs, d)) for t, d in spec.items()}
+        pdf = _make_pdf(rng, n_docs, spec, idf, zipf=bool(trial % 2),
+                        shards=1 + trial % 3)
+        for k, msm in itertools.product((1, 10, 137),
+                                        (0, max(1, n_terms - 1), n_terms)):
+            d1, s1 = _score_shard_np(pdf, idf, K1, B, AVGDL, k, msm, True)
+            d0, s0 = _score_shard_np(pdf, idf, K1, B, AVGDL, k, msm, False)
+            if not (np.array_equal(d1, d0)
+                    and np.allclose(s1, s0, atol=1e-12)):
+                fails.append((trial, k, msm))
+    assert not fails, fails
+
+
+def test_lazy_kernel_skips_head_term_blocks():
+    """The point of in-list skipping: a single head term's tail blocks
+    are never decoded (cost sublinear in df), and a rare strong term
+    driving a query prunes most of the head terms' lists."""
+    rng = np.random.default_rng(11)
+    n_docs = 200000
+
+    spec = {"head": n_docs // 2}
+    idf = {t: float(bm25.idf(n_docs, d)) for t, d in spec.items()}
+    pdf = _make_pdf(rng, n_docs, spec, idf, zipf=True)
+    st = {}
+    _score_shard_np(pdf, idf, K1, B, AVGDL, 10, 0, True, stats=st)
+    assert st["blocks_decoded"] < 0.2 * st["blocks_total"], st
+
+    spec = {"head": n_docs // 2, "head2": n_docs // 3, "rare": 300}
+    idf = {t: float(bm25.idf(n_docs, d)) for t, d in spec.items()}
+    pdf = _make_pdf(rng, n_docs, spec, idf, zipf=True)
+    st = {}
+    d1, s1 = _score_shard_np(pdf, idf, K1, B, AVGDL, 10, 0, True, stats=st)
+    d0, s0 = _score_shard_np(pdf, idf, K1, B, AVGDL, 10, 0, False)
+    assert np.array_equal(d1, d0) and np.allclose(s1, s0)
+    assert st["blocks_decoded"] < 0.6 * st["blocks_total"], st
+
+
+def test_lazy_kernel_empty_and_degenerate():
+    rng = np.random.default_rng(3)
+    # empty frame → empty result
+    pdf = pd.DataFrame(columns=["term", "shard", "block_id", "first_docid",
+                                "last_docid", "n_docs", "max_score_ub",
+                                "deltas", "tfs", "dls"])
+    d, s = _score_shard_np(pdf, {}, K1, B, AVGDL, 10, 0, True)
+    assert d.size == 0 and s.size == 0
+    # one tiny list, k larger than the corpus
+    spec = {"only": 5}
+    idf = {"only": float(bm25.idf(100, 5))}
+    pdf = _make_pdf(rng, 100, spec, idf)
+    d1, s1 = _score_shard_np(pdf, idf, K1, B, AVGDL, 50, 0, True)
+    d0, s0 = _score_shard_np(pdf, idf, K1, B, AVGDL, 50, 0, False)
+    assert np.array_equal(d1, d0) and np.allclose(s1, s0)
+    assert d1.size == 5
+    # msm stricter than the number of terms → empty
+    spec = {"a": 40, "b": 40}
+    idf = {t: float(bm25.idf(100, 40)) for t in spec}
+    pdf = _make_pdf(rng, 100, spec, idf)
+    d1, _ = _score_shard_np(pdf, idf, K1, B, AVGDL, 10, 3, True)
+    d0, _ = _score_shard_np(pdf, idf, K1, B, AVGDL, 10, 3, False)
+    assert d1.size == 0 and d0.size == 0
+
+
+@pytest.mark.parametrize("offset_k", [(0, 10), (10, 10), (95, 10)])
+def test_lazy_kernel_paging_window(offset_k):
+    """top-(offset+k) from the lazy kernel slices to the same page as
+    the brute ranking (the per-shard contract behind .offset())."""
+    offset, k = offset_k
+    rng = np.random.default_rng(13)
+    n_docs = 5000
+    spec = {"x": 900, "y": 400, "z": 60}
+    idf = {t: float(bm25.idf(n_docs, d)) for t, d in spec.items()}
+    pdf = _make_pdf(rng, n_docs, spec, idf, zipf=True)
+    kk = offset + k
+    d1, s1 = _score_shard_np(pdf, idf, K1, B, AVGDL, kk, 0, True)
+    d0, s0 = _score_shard_np(pdf, idf, K1, B, AVGDL, kk, 0, False)
+    assert np.array_equal(d1, d0) and np.allclose(s1, s0)
