@@ -120,15 +120,17 @@ class Manifest:
         os.replace(tmp, os.path.join(root, MANIFEST))  # atomic commit
 
 
-def assign_doc_ids(docs: DataFrame, key: str = "url",
-                   staging_dir: str | None = None) -> DataFrame:
-    """Dense deterministic docids: global sort by key → dense 0..N-1.
+def stage_docs_for_ids(docs: DataFrame, key: str = "url",
+                       staging_dir: str | None = None) -> str:
+    """Materialize the range partitioning that defines docid order.
 
-    The range partitioning is materialized to staging parquet, then
-    docid = per-partition offset + row_number within partition — all
-    JVM-side. Ids are invariant to the input partitioning because the
-    composition is a total order on a unique key (duplicates dropped
-    first); boundary placement only shifts offsets, never ranks.
+    repartitionByRange seeds its sampler with the RDD id, so two jobs
+    over the same plan can draw different boundaries — enumerating
+    against a re-executed plan would corrupt the ids. The staged
+    parquet pins one concrete partitioning (and is the natural resume
+    artifact). Duplicates are NOT pre-shuffled away: equal keys land
+    in the same range partition, so dedup happens inside the
+    enumeration window — one wide shuffle of the data instead of two.
     """
     import tempfile
 
@@ -136,32 +138,19 @@ def assign_doc_ids(docs: DataFrame, key: str = "url",
     # 3 waves of range partitions — balances the per-partition sort +
     # enumeration work across cores even when ranges are uneven
     p = max(2, 3 * spark.sparkContext.defaultParallelism)
-
-    # Materialize the range partitioning ONCE: repartitionByRange
-    # seeds its sampler with the RDD id, so two jobs over the same
-    # plan can draw different boundaries — enumerating against a
-    # re-executed plan would corrupt the ids. The staged parquet pins
-    # one concrete partitioning (and is the natural resume artifact).
-    # Duplicates are NOT pre-shuffled away: equal keys land in the same
-    # range partition, so dedup happens inside the enumeration window —
-    # one wide shuffle of the data instead of two.
     staging = staging_dir or tempfile.mkdtemp(prefix="docids_")
     (docs.repartitionByRange(p, F.col(key))
      .withColumn("__pid", F.spark_partition_id())
      .write.mode("overwrite").parquet(staging))
-    return enumerate_staged_docids(spark, staging, key)
+    return staging
 
 
-def enumerate_staged_docids(spark, staging: str, key: str = "url") -> DataFrame:
-    """Assign docid = partition offset + rank over a previously staged
-    range-partitioned parquet, dropping duplicate keys (first in key
-    order wins). Deterministic and re-runnable — this is how a resumed
-    build reconstructs its docids."""
-    from pyspark.sql import Window
-
+def _staged_offsets(spark, staging: str, key: str) -> tuple:
+    """Per-partition docid offsets + exact corpus size from the staged
+    parquet: one column-pruned scan of the key (duplicates are
+    co-located by the range partitioning, so per-partition DISTINCT
+    counts are exact)."""
     staged = spark.read.parquet(staging)
-    # per-partition DISTINCT counts (duplicates are co-located by the
-    # range partitioning) — column-pruned scan of the key only
     counts = {int(r["__pid"]): int(r["cnt"]) for r in
               staged.groupBy("__pid")
               .agg(F.countDistinct(key).alias("cnt")).collect()}
@@ -171,6 +160,12 @@ def enumerate_staged_docids(spark, staging: str, key: str = "url") -> DataFrame:
         offsets.append((pid, acc))
         acc += counts[pid]
     off_df = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    return off_df, acc
+
+
+def _enumerate_with_offsets(staged: DataFrame, off_df: DataFrame,
+                            key: str) -> DataFrame:
+    from pyspark.sql import Window
 
     w = Window.partitionBy("__pid").orderBy(key)
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -183,6 +178,31 @@ def enumerate_staged_docids(spark, staging: str, key: str = "url") -> DataFrame:
                         F.col("__off") + F.row_number().over(w) - 1 - F.col("__cum"))
             .where(F.col("__dup") == 0)
             .drop("__pid", "__off", "__dup", "__cum"))
+
+
+def assign_doc_ids(docs: DataFrame, key: str = "url",
+                   staging_dir: str | None = None) -> DataFrame:
+    """Dense deterministic docids: global sort by key → dense 0..N-1.
+
+    The range partitioning is materialized to staging parquet
+    (stage_docs_for_ids), then docid = per-partition offset +
+    row_number within partition — all JVM-side. Ids are invariant to
+    the input partitioning because the composition is a total order on
+    a unique key (duplicates dropped first); boundary placement only
+    shifts offsets, never ranks.
+    """
+    spark = docs.sparkSession
+    staging = stage_docs_for_ids(docs, key, staging_dir)
+    return enumerate_staged_docids(spark, staging, key)
+
+
+def enumerate_staged_docids(spark, staging: str, key: str = "url") -> DataFrame:
+    """Assign docid = partition offset + rank over a previously staged
+    range-partitioned parquet, dropping duplicate keys (first in key
+    order wins). Deterministic and re-runnable — this is how a resumed
+    build reconstructs its docids."""
+    off_df, _ = _staged_offsets(spark, staging, key)
+    return _enumerate_with_offsets(spark.read.parquet(staging), off_df, key)
 
 
 def _tf_table(docs: DataFrame, id_col: str, text_col: str,
@@ -243,12 +263,16 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     meta_path = os.path.join(out_dir, "doc_meta")
     post_path = os.path.join(out_dir, "postings")
 
-    # ---- stage 1: materialize doc_meta + tf + stats (the resume
-    # checkpoint). Kept to 3-4 Spark jobs: corpus stats ride on the
-    # doc_meta write via .observe() instead of separate agg jobs.
+    # ---- stage 1: materialize tf + stats (the resume checkpoint).
+    # Critical path is 3 Spark jobs (sample, staging write, tf/stats);
+    # corpus stats ride on the staging offsets (n_docs) and an
+    # .observe(sum(cf)) on the stats write (Σcf ≡ Σdl) instead of
+    # separate agg jobs, and doc_meta — needed only by readers, not by
+    # the encode — is written CONCURRENTLY with stage 2.
     tf_live = None  # in-session persisted tf (single-batch fast path)
     if not man.stage1_done:
         t0 = time.time()
+        n_all = None
         if id_col not in docs.columns:
             # persist the upstream (extraction is expensive) for the
             # duration of the staging write: repartitionByRange runs a
@@ -256,43 +280,27 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             # shuffle write — without the cache that executes the
             # extractor twice.
             raw = docs.persist()
-            docs = assign_doc_ids(raw, key=url_col,
-                                  staging_dir=os.path.join(out_dir, "docid_staging"))
+            staging = stage_docs_for_ids(
+                raw, key=url_col,
+                staging_dir=os.path.join(out_dir, "docid_staging"))
+            raw.unpersist()  # everything reads the staged parquet now
+            off_df, n_all = _staged_offsets(spark, staging, url_col)
+            docs = _enumerate_with_offsets(
+                spark.read.parquet(staging), off_df, url_col)
             id_col = "docid"
-            raw.unpersist()  # enumerate reads the staged parquet now
-        # NOTE: tokens are recomputed per pass on purpose — caching the
-        # token arrays (tokenize-once) was measured SLOWER than letting
-        # whole-stage codegen re-run the regex (object/GC overhead of
-        # persisted array<string> outweighs the recompute).
-        if manage_cache:
+        elif manage_cache:
+            # pre-id'd docs (segment/fielded builds): both the tf pass
+            # and the meta join read this frame
             docs = docs.persist()
 
-        # doc_meta = dictionary (docid ↔ url) + doc_lengths in one table
-        from pyspark.sql import Observation
-        obs = Observation("corpus_stats")
-        dl_expr = (F.size(F.col(toks_col)) if toks_col
-                   else F.size(analyze.tokens(F.col(text_col))))
-        meta_cols = [F.col(id_col).alias("docid"), dl_expr.alias("dl")]
-        if url_col and url_col in docs.columns:
-            meta_cols.append(F.col(url_col).alias("url"))
-        meta = docs.select(*meta_cols).observe(
-            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl"))
-        meta.write.mode("overwrite").parquet(meta_path)
-        n_all = int(obs.get["n"])
-        man.n_docs = n_all
-        man.avgdl = (float(obs.get["sum_dl"] or 0) / n_all) if n_all else 0.0
-        man.n_shards = max(1, -(-n_all // params.docs_per_shard))
-
-        if check_invariants:
-            dic = spark.read.parquet(meta_path)
-            n_ids = dic.select("docid").distinct().count()
-            if n_ids != n_all:
-                raise RuntimeError(
-                    f"docid collision: {n_all} rows, {n_ids} distinct ids")
-
+        # NOTE: tokens are computed ONCE, in the tf pass — doc lengths
+        # are recovered from the tf rows (dl rides each row; Σcf is the
+        # corpus token count), so no second tokenize pass exists.
         tf = _tf_table(docs, id_col, text_col, toks_col).withColumn(
             "bucket", F.pmod(F.hash("term"), F.lit(params.n_buckets)))
 
+        from pyspark.sql import Observation
+        obs = Observation("corpus_stats")
         single_batch = params.bucket_batch >= params.n_buckets
         if single_batch:
             # fast path: the whole stage-2 runs as ONE batch, so the tf
@@ -307,20 +315,27 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             from pyspark import StorageLevel
             tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
             tf_live = tf
-            (tf.groupBy("term")
-             .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
-                  F.first("bucket").alias("bucket"))
-             .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
+            stats_src = tf
         else:
             # co-locate each bucket before the partitioned write: one
             # file per bucket per batch instead of (tasks × buckets)
             tf.repartition(params.n_buckets, "bucket") \
                 .write.mode("overwrite").partitionBy("bucket").parquet(tf_path)
-            tf_staged = spark.read.parquet(tf_path)
-            (tf_staged.groupBy("term")
-             .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
-                  F.first("bucket").alias("bucket"))
-             .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
+            stats_src = spark.read.parquet(tf_path)
+        (stats_src.groupBy("term")
+         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
+              F.first("bucket").alias("bucket"))
+         .observe(obs, F.sum("cf").alias("sum_dl"))
+         .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
+        sum_dl = float(obs.get["sum_dl"] or 0)
+
+        if n_all is None:
+            # pre-id'd path: no staging offsets to read the size from —
+            # count the docs frame (cached above; cheap single agg)
+            n_all = docs.count()
+        man.n_docs = n_all
+        man.avgdl = (sum_dl / n_all) if n_all else 0.0
+        man.n_shards = max(1, -(-n_all // params.docs_per_shard))
 
         man.stage1_done = True
         man.save(out_dir)
@@ -390,6 +405,12 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             yield _encode_groups(carry)
 
     stats = spark.read.schema(TERM_STATS_SCHEMA).parquet(stats_path)
+    if id_col not in docs.columns:
+        staging = os.path.join(out_dir, "docid_staging")
+        if not os.path.exists(staging):
+            raise ValueError("cannot resume: no docid staging")
+        docs = enumerate_staged_docids(spark, staging, key=url_col or "url")
+        id_col = "docid"
     if tf_live is not None:
         tf_source = tf_live
     elif os.path.exists(tf_path):
@@ -398,14 +419,36 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         # fast path (no staged tf): derive tf live from the docs — from
         # the in-session persisted frame, or reconstructed
         # deterministically from the docid staging on resume.
-        if id_col not in docs.columns:
-            staging = os.path.join(out_dir, "docid_staging")
-            if not os.path.exists(staging):
-                raise ValueError("cannot resume: no tf staging or docid staging")
-            docs = enumerate_staged_docids(spark, staging, key=url_col or "url")
-            id_col = "docid"
         tf_source = _tf_table(docs, id_col, text_col, toks_col).withColumn(
             "bucket", F.pmod(F.hash("term"), F.lit(params.n_buckets)))
+
+    # ---- doc_meta (docid ↔ url dictionary + doc lengths), written in
+    # parallel with the encode batches: readers need it, the encode
+    # doesn't, so it rides the same wall-clock window instead of
+    # serializing a full corpus pass. dl is recovered from the tf rows
+    # (no re-tokenize); zero-token docs are absent from tf → coalesce 0.
+    meta_thread = None
+    meta_err: list = []
+    if not os.path.exists(os.path.join(meta_path, "_SUCCESS")):
+        dlagg = tf_source.groupBy("docid").agg(F.first("dl").alias("dl"))
+        left_cols = [F.col(id_col).alias("docid")]
+        if url_col and url_col in docs.columns:
+            left_cols.append(F.col(url_col).alias("url"))
+        meta_df = (docs.select(*left_cols)
+                   .join(dlagg, "docid", "left")
+                   .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+                   .select("docid", "dl",
+                           *(["url"] if len(left_cols) > 1 else [])))
+
+        def _write_meta():
+            try:
+                meta_df.write.mode("overwrite").parquet(meta_path)
+            except BaseException as exc:  # surfaced after join()
+                meta_err.append(exc)
+
+        import threading
+        meta_thread = threading.Thread(target=_write_meta, daemon=True)
+        meta_thread.start()
 
     all_buckets = list(range(params.n_buckets))
     batches = [all_buckets[i:i + params.bucket_batch]
@@ -454,6 +497,18 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         man.save(out_dir)
         log(f"[index] {key}: ~{m['terms']} terms, {m['postings']} postings, "
             f"{m['bytes']} B in {time.time()-t0:.1f}s")
+
+    if meta_thread is not None:
+        meta_thread.join()
+        if meta_err:
+            raise meta_err[0]
+
+    if check_invariants:
+        dic = spark.read.parquet(meta_path)
+        n_ids = dic.select("docid").distinct().count()
+        if n_ids != man.n_docs:
+            raise RuntimeError(
+                f"docid collision: {man.n_docs} rows, {n_ids} distinct ids")
 
     man.done = True
     man.save(out_dir)
