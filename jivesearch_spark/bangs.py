@@ -145,6 +145,41 @@ class Bangs:
         return [{"trigger": trig, "name": name, "favicon": fav}
                 for trig, name, fav in hits[:size]]
 
+    def default_suggestions(self) -> list[dict]:
+        """The ``q == "!"`` static suggestion set — a pinned list of
+        default triggers resolved against the corpus
+        (frontend/frontend.go:209-235: triggers ["g","a","b","reddit",
+        "w"], every bang carrying that trigger appended in order)."""
+        out = []
+        for trigger in DEFAULT_SUGGEST_TRIGGERS:
+            for b in self.bangs:
+                if trigger in b.triggers:
+                    out.append({"trigger": trigger, "name": b.name,
+                                "favicon": b.favicon})
+        return out
+
+
+#: frontend/frontend.go:211 — the default-suggestion trigger list
+DEFAULT_SUGGEST_TRIGGERS = ("g", "a", "b", "reddit", "w")
+
+#: env var naming a full bangs.toml corpus (the reference ships 7,438
+#: bangs in bangs/bangs.toml); when unset/missing, BUILTIN is used.
+BANGS_TOML_ENV = "JIVESEARCH_BANGS_TOML"
+
+
+def corpus_path() -> str | None:
+    """Path of the full bangs corpus, if one is wired via env."""
+    import os
+    p = os.environ.get(BANGS_TOML_ENV, "")
+    return p if p and os.path.exists(p) else None
+
+
+def default_corpus() -> list[Bang]:
+    """The full wired corpus when available, else BUILTIN — callers
+    that want "whatever this deployment ships" use this."""
+    p = corpus_path()
+    return load_toml(p) if p else list(BUILTIN)
+
 
 def bang_queries(df, bangs: Bangs | None = None, query_col: str = "query",
                  region_col: str | None = None):

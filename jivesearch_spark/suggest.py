@@ -45,6 +45,20 @@ def load_naughty(path: str) -> frozenset[str]:
     return frozenset(out)
 
 
+#: env var naming a full blocklist file (the reference ships 2,575
+#: terms in suggest/naughty.txt); when unset/missing, the built-in
+#: subset is used.
+NAUGHTY_TXT_ENV = "JIVESEARCH_NAUGHTY_TXT"
+
+
+def default_naughty() -> frozenset[str]:
+    """The full wired blocklist when available, else the built-in
+    subset — deployments point NAUGHTY_TXT_ENV at their list."""
+    import os
+    p = os.environ.get(NAUGHTY_TXT_ENV, "")
+    return load_naughty(p) if p and os.path.exists(p) else NAUGHTY
+
+
 def is_naughty(q: str, naughty: frozenset[str] = NAUGHTY) -> bool:
     """Substring containment against the blocklist
     (suggest/suggest.go:57-66)."""
@@ -133,3 +147,30 @@ class LocalSuggest:
                 if q.startswith(p)]
         rows.sort(key=lambda r: (-r[1], r[0]))
         return rows[:size]
+
+
+def autocomplete(q: str, completer, bangs_obj=None, size: int = 10) -> dict:
+    """The /autocomplete routing (frontend/frontend.go:202-265):
+
+    - ``q == "!"`` → the pinned default !bang suggestion set;
+    - ``q`` longer than 1 and starting with ``!`` → trigger-prefix
+      !bang suggestions, falling through to query completions when no
+      trigger matches;
+    - anything else → top-``size`` completions from the suggest store.
+
+    ``completer`` is anything with ``complete(prefix, size)`` (e.g.
+    LocalSuggest); ``bangs_obj`` defaults to the wired corpus.
+    """
+    from . import bangs as _bangs
+    q = q.strip()
+    bb = bangs_obj if bangs_obj is not None else _bangs.Bangs(
+        _bangs.default_corpus())
+    if q == "!":
+        return {"kind": "bangs", "suggestions": bb.default_suggestions()}
+    if len(q) > 1 and q.startswith("!"):
+        hits = bb.suggest(q, size)
+        if hits:
+            return {"kind": "bangs", "suggestions": hits}
+    comps = completer.complete(q, size) if completer is not None else []
+    return {"kind": "completions",
+            "suggestions": [{"query": c, "weight": w} for c, w in comps]}

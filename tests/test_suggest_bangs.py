@@ -173,3 +173,64 @@ def test_full_bangs_corpus_loads_and_dispatches():
     hits = bb.suggest("!wiki", size=10)
     assert 0 < len(hits) <= 10
     assert all(h["trigger"].startswith("wiki") for h in hits)
+
+
+def test_default_bang_suggestions_builtin():
+    # frontend/frontend.go:209-235: q == "!" returns the pinned default
+    # trigger set resolved against the corpus, in trigger order.
+    from jivesearch_spark.bangs import DEFAULT_SUGGEST_TRIGGERS
+    from jivesearch_spark import bangs as B
+    bb = Bangs(list(B.BUILTIN))
+    sugg = bb.default_suggestions()
+    trigs = [s["trigger"] for s in sugg]
+    # every emitted trigger is from the pinned list, in list order
+    order = {t: i for i, t in enumerate(DEFAULT_SUGGEST_TRIGGERS)}
+    assert all(t in order for t in trigs)
+    assert trigs == sorted(trigs, key=lambda t: order[t])
+    assert any(s["name"] == "Google" for s in sugg)
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_BANGS),
+                    reason="reference snapshot not mounted")
+def test_env_wiring_and_autocomplete_routing(monkeypatch):
+    import os
+    from jivesearch_spark import bangs as B
+    from jivesearch_spark import suggest as S
+
+    monkeypatch.setenv(B.BANGS_TOML_ENV, REF_BANGS)
+    monkeypatch.setenv(S.NAUGHTY_TXT_ENV, REF_NAUGHTY)
+    corpus = B.default_corpus()
+    assert len(corpus) == 7438
+    naughty = S.default_naughty()
+    assert len(naughty) > 2500
+
+    bb = Bangs(corpus)
+
+    class FakeCompleter:
+        def complete(self, prefix, size):
+            return [("hello world", 3), ("hello there", 1)][:size]
+
+    # q == "!" → default bang suggestions
+    r = S.autocomplete("!", FakeCompleter(), bangs_obj=bb)
+    assert r["kind"] == "bangs" and len(r["suggestions"]) == 5
+
+    # bang prefix with matches → trigger-prefix suggestions
+    r = S.autocomplete("!gi", FakeCompleter(), bangs_obj=bb, size=10)
+    assert r["kind"] == "bangs"
+    assert all(s["trigger"].startswith("gi") for s in r["suggestions"])
+    assert 0 < len(r["suggestions"]) <= 10
+
+    # bang prefix with NO matching trigger → falls through to completions
+    r = S.autocomplete("!zzzznope", FakeCompleter(), bangs_obj=bb)
+    assert r["kind"] == "completions"
+
+    # plain query → completions
+    r = S.autocomplete("hello", FakeCompleter(), bangs_obj=bb)
+    assert r["kind"] == "completions"
+    assert r["suggestions"][0] == {"query": "hello world", "weight": 3}
+
+    # env unset → builtins
+    monkeypatch.delenv(B.BANGS_TOML_ENV)
+    monkeypatch.delenv(S.NAUGHTY_TXT_ENV)
+    assert B.default_corpus() == list(B.BUILTIN)
+    assert S.default_naughty() == S.NAUGHTY
