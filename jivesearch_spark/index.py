@@ -284,7 +284,9 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
                 raw, key=url_col,
                 staging_dir=os.path.join(out_dir, "docid_staging"))
             raw.unpersist()  # everything reads the staged parquet now
+            log(f"[index] stage1: staging write +{time.time()-t0:.1f}s")
             off_df, n_all = _staged_offsets(spark, staging, url_col)
+            log(f"[index] stage1: offsets +{time.time()-t0:.1f}s")
             docs = _enumerate_with_offsets(
                 spark.read.parquet(staging), off_df, url_col)
             id_col = "docid"
@@ -328,6 +330,7 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
          .observe(obs, F.sum("cf").alias("sum_dl"))
          .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
         sum_dl = float(obs.get["sum_dl"] or 0)
+        log(f"[index] stage1: tf+stats +{time.time()-t0:.1f}s")
 
         if n_all is None:
             # pre-id'd path: no staging offsets to read the size from —
@@ -346,63 +349,94 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     n_docs, avgdl = man.n_docs, man.avgdl
     k1, b, dps = params.k1, params.b, params.docs_per_shard
 
-    def _encode_groups(pdf):
-        """Encode all complete (term, shard) groups in a sorted frame.
+    def _group_bounds(term_pa, shard_np):
+        """Boolean new-group mask over (term, shard) without creating a
+        Python string per row: adjacent-term inequality runs as Arrow
+        compute over two zero-copy slices."""
+        import pyarrow.compute as pc
+        n = len(shard_np)
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        if n > 1:
+            tdiff = pc.not_equal(term_pa.slice(1), term_pa.slice(0, n - 1))
+            new_grp[1:] = (tdiff.to_numpy(zero_copy_only=False)
+                           | (shard_np[1:] != shard_np[:-1]))
+        return new_grp
+
+    def _encode_groups(term_pa, cols, starts):
+        """Encode all complete (term, shard) groups of a sorted run.
 
         Input is sorted by (term, shard, docid); one Arrow batch holds
         thousands of tiny term groups and ALL of them are encoded in
         three vectorized varint passes (codec.encode_blocks_frame) —
-        no per-group or per-block Python math.
+        no per-group or per-block Python math. Term strings surface
+        only per-BLOCK (term_pa.take at block starts), never per
+        posting — the per-row Python-object traffic of a pandas
+        kernel is what this avoids.
         """
-        import pandas as pd
-        terms_a = pdf["term"].values
-        shards_a = pdf["shard"].values
-        new_grp = np.empty(len(pdf), dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (terms_a[1:] != terms_a[:-1]) | (shards_a[1:] != shards_a[:-1])
-        starts = np.flatnonzero(new_grp)
-        docid_a = pdf["docid"].values.astype(np.int64)
-        tf_a = pdf["tf"].values.astype(np.int64)
-        dl_a = pdf["dl"].values.astype(np.int64)
-        df_a = pdf["df"].values.astype(np.float64)
-        bucket_a = pdf["bucket"].values
-
+        import pyarrow as pa
+        docid_a, tf_a, dl_a = cols["docid"], cols["tf"], cols["dl"]
+        df_a = cols["df"].astype(np.float64)
         idf_row = np.log(1.0 + (n_docs - df_a + 0.5) / (df_a + 0.5))
         tfn = (tf_a * (k1 + 1.0)
                / (tf_a + k1 * (1.0 - b + b * dl_a / max(avgdl, 1e-9))))
         bs, meta, deltas_b, tfs_b, dls_b = codec.encode_blocks_frame(
             docid_a, tf_a, dl_a, idf_row * tfn, starts)
-        return pd.DataFrame({
-            "bucket": bucket_a[bs], "term": terms_a[bs],
-            "shard": shards_a[bs], "block_id": meta["block_id"],
-            "first_docid": meta["first_docid"],
-            "last_docid": meta["last_docid"], "n_docs": meta["n_docs"],
-            "max_score_ub": meta["max_score_ub"],
-            "deltas": deltas_b, "tfs": tfs_b, "dls": dls_b,
-        })
+        return pa.record_batch([
+            pa.array(cols["bucket"][bs], type=pa.int32()),
+            term_pa.take(pa.array(bs, type=pa.int64())),
+            pa.array(cols["shard"][bs], type=pa.int32()),
+            pa.array(meta["block_id"], type=pa.int32()),
+            pa.array(meta["first_docid"], type=pa.int64()),
+            pa.array(meta["last_docid"], type=pa.int64()),
+            pa.array(meta["n_docs"], type=pa.int32()),
+            pa.array(meta["max_score_ub"], type=pa.float64()),
+            pa.array(deltas_b, type=pa.binary()),
+            pa.array(tfs_b, type=pa.binary()),
+            pa.array(dls_b, type=pa.binary()),
+        ], names=["bucket", "term", "shard", "block_id", "first_docid",
+                  "last_docid", "n_docs", "max_score_ub",
+                  "deltas", "tfs", "dls"])
+
+    _NUM_COLS = (("docid", np.int64), ("tf", np.int64), ("dl", np.int64),
+                 ("df", np.int64), ("bucket", np.int32), ("shard", np.int32))
 
     def _encode_stream(batch_iter):
-        """mapInPandas with (term, shard)-group carry across Arrow
-        batches: rows of one group are contiguous within the sorted
-        partition but may straddle batch boundaries."""
-        import pandas as pd
-        carry = None
-        for pdf in batch_iter:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        """mapInArrow with (term, shard)-group carry across batches:
+        rows of one group are contiguous within the sorted partition
+        but may straddle batch boundaries."""
+        import pyarrow as pa
+        carry = None  # (term pa.Array, dict of numpy arrays)
+        for rb in batch_iter:
+            if rb.num_rows == 0:
                 continue
-            last_t = pdf["term"].iloc[-1]
-            last_s = pdf["shard"].iloc[-1]
-            tail_mask = (pdf["term"].values == last_t) & (pdf["shard"].values == last_s)
+            term_pa = rb.column("term")
+            if isinstance(term_pa, pa.ChunkedArray):
+                term_pa = term_pa.combine_chunks()
+            cols = {name: rb.column(name).to_numpy(zero_copy_only=False)
+                          .astype(dt, copy=False)
+                    for name, dt in _NUM_COLS}
+            if carry is not None:
+                ct, cc = carry
+                term_pa = pa.concat_arrays([ct, term_pa])
+                cols = {k: np.concatenate([cc[k], cols[k]]) for k in cols}
+            new_grp = _group_bounds(term_pa, cols["shard"])
+            starts = np.flatnonzero(new_grp)
             # the trailing group may continue in the next batch → carry it
-            split = len(pdf) - int(tail_mask[::-1].argmin() if not tail_mask.all()
-                                   else len(pdf))
-            head, carry = pdf.iloc[:split], pdf.iloc[split:]
-            if len(head):
-                yield _encode_groups(head)
-        if carry is not None and len(carry):
-            yield _encode_groups(carry)
+            split = int(starts[-1])
+            if split > 0:
+                yield _encode_groups(term_pa.slice(0, split),
+                                     {k: v[:split] for k, v in cols.items()},
+                                     starts[:-1])
+            carry = (term_pa.slice(split).combine_chunks()
+                     if isinstance(term_pa.slice(split), pa.ChunkedArray)
+                     else pa.concat_arrays([term_pa.slice(split)]),
+                     {k: v[split:].copy() for k, v in cols.items()})
+        if carry is not None and len(carry[1]["docid"]):
+            term_pa, cols = carry
+            yield _encode_groups(term_pa, cols,
+                                 np.flatnonzero(_group_bounds(term_pa,
+                                                              cols["shard"])))
 
     stats = spark.read.schema(TERM_STATS_SCHEMA).parquet(stats_path)
     if id_col not in docs.columns:
@@ -459,6 +493,13 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     # one-wave stage idles every other core for its whole tail
     n_enc_parts = max(2, 3 * spark.sparkContext.defaultParallelism)
 
+    # larger Arrow batches for the encode fan-in: posting rows are ~30
+    # bytes each, so 64k-row batches are still ~2 MB while quartering
+    # the per-batch Python/IPC fixed cost (the session default stays
+    # small because other kernels carry wide binary/text payloads)
+    _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    _arrow_prev = spark.conf.get(_arrow_key, "10000")
+    spark.conf.set(_arrow_key, "65536")
     for batch in batches:
         key = f"buckets_{batch[0]}_{batch[-1]}"
         if key in man.completed_batches:
@@ -474,7 +515,7 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         )
         from pyspark.sql import Observation
         obs = Observation(f"batch_{key}")
-        out = (part.mapInPandas(_encode_stream, schema=POSTINGS_SCHEMA)
+        out = (part.mapInArrow(_encode_stream, schema=POSTINGS_SCHEMA)
                .observe(obs,
                         F.count(F.lit(1)).alias("blocks"),
                         F.approx_count_distinct("term").alias("terms"),
@@ -497,6 +538,8 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         man.save(out_dir)
         log(f"[index] {key}: ~{m['terms']} terms, {m['postings']} postings, "
             f"{m['bytes']} B in {time.time()-t0:.1f}s")
+
+    spark.conf.set(_arrow_key, _arrow_prev)
 
     if meta_thread is not None:
         meta_thread.join()
