@@ -48,3 +48,31 @@ def offset_for(page, number) -> int:
     """frontend/search.go:455 — offset := page*number - number."""
     p, n = clamp_page(page), clamp_number(number)
     return p * n - n
+
+
+def is_lucky(q: str) -> bool:
+    """First-result redirect ("I'm feeling lucky") detection
+    (frontend/search.go:283-286): ``! example``, ``example !`` or
+    ``\\example`` request a 302 to the top result — but NOT
+    ``example ! now`` (the marker must be the first or last field).
+    A bare-``!`` query never reaches this branch in the reference
+    (autocomplete handles it); empty queries are not lucky."""
+    fields = q.split()
+    if not fields:
+        return False
+    return (fields[0] == "!" or fields[-1] == "!"
+            or fields[0].startswith("\\"))
+
+
+def lucky_target(docs: list) -> str | None:
+    """frontend/search.go:287-295 — redirect location = the first
+    result's doc ID (its URL); None when the result set is empty
+    (the reference's loop simply never returns and the SERP renders).
+    ``docs`` is any sequence whose items expose ``.url`` or are
+    (url, ...) tuples / plain strings."""
+    for d in docs:
+        u = getattr(d, "url", None) or (d[0] if isinstance(d, (tuple, list))
+                                        else d if isinstance(d, str) else None)
+        if u:
+            return u
+    return None

@@ -130,3 +130,22 @@ def test_fielded_offset_composes(spark, tmp_path_factory):
     idx = FieldedLocalIndex(root)
     page2 = [(u, round(s, 9)) for u, s in idx.topk(Q, k=10, offset=10)]
     assert page2 == deep[10:20]
+
+
+def test_lucky_detection_goldens():
+    # frontend/search.go:283-286 golden table
+    from jivesearch_spark.paging import is_lucky, lucky_target
+    assert is_lucky("! example")
+    assert is_lucky("example !")
+    assert is_lucky("\\example")
+    assert is_lucky("\\example now")
+    assert not is_lucky("example ! now")
+    assert not is_lucky("example")
+    assert not is_lucky("")
+    assert lucky_target([]) is None
+    assert lucky_target(["http://a.example/x", "http://b.example/y"]) == "http://a.example/x"
+    assert lucky_target([("http://t.example/z", 3.2)]) == "http://t.example/z"
+
+    class Doc:
+        url = "http://o.example/w"
+    assert lucky_target([Doc()]) == "http://o.example/w"
