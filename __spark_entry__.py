@@ -809,6 +809,69 @@ def q_ann_ivf_topk(spark, sf_dir):
                       F.round("cosine", 4).alias("cosine"))
 
 
+def _ann_recall_rows(spark, sf_dir, approx_fn):
+    """Shared recall-gate shape (mirrors q_minhash_recall): one row per
+    probe query — sum_exact_ids is the SQL-verified exact-top-10 id
+    checksum (same (round(cos,9) desc, id) tie-break as the oracle),
+    recall_ok the measured approximate-recall gate."""
+    from jivesearch_spark.tdp import ann
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    rows = []
+    for qid in (0, 1, 2):
+        qv = list(emb.where(f"vec_id = {qid}")
+                  .select("embedding").collect()[0][0])
+        exact = [r.id for r in ann.cosine_topk(emb, qv, k=10).collect()]
+        approx = [r.id for r in approx_fn(emb, qv).collect()]
+        rows.append((qid, sum(exact),
+                     len(set(exact) & set(approx)) >= 7))
+    return spark.createDataFrame(
+        rows, "query_id int, sum_exact_ids long, recall_ok boolean")
+
+
+#: shared oracle for both ANN recall gates — identical exact side,
+#: the approximate kernel under test differs only Spark-side
+_ANN_RECALL_SQL = """
+WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT qs.qid, e.vec_id,
+         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qs.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qs.qv, qs.qv))), 9) AS c
+  FROM embeddings e CROSS JOIN qs),
+ranked AS (SELECT qid, vec_id,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY c DESC, vec_id) AS rn
+           FROM scored)
+SELECT CAST(qid AS INTEGER) AS query_id,
+       CAST(sum(vec_id) AS BIGINT) AS sum_exact_ids,
+       true AS recall_ok
+FROM ranked WHERE rn <= 10 GROUP BY qid ORDER BY qid"""
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    """Recall gate for the RP-LSH scale path: multi-table banding at
+    (n_bits=8, n_tables=32, Hamming-1 probes) must recover ≥ 70% of
+    the exact cosine top-10 per probe query (measured ~0.9-1.0 on the
+    sf0.01 embeddings)."""
+    from jivesearch_spark.tdp import ann
+    return _ann_recall_rows(
+        spark, sf_dir,
+        lambda emb, qv: ann.ann_topk_lsh(emb, qv, k=10, n_bits=8,
+                                         n_tables=32, probe_hamming=1))
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall gate for the IVF scale path: probing 10/16 lists must
+    recover ≥ 70% of the exact cosine top-10 per probe query."""
+    from jivesearch_spark.tdp import ann
+    return _ann_recall_rows(
+        spark, sf_dir,
+        lambda emb, qv: ann.ann_topk_ivf(emb, qv, k=10, n_lists=16,
+                                         n_probe=10))
+
+
 def q_media_decode(spark, sf_dir):
     """Stub media decode over deterministic payloads; exact DuckDB
     oracle (_media_decode_sql) recomputes the digest-derived fields."""
@@ -933,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "media_decode": q_media_decode,
         "frame_sample": q_frame_sample,
         "lang_analyze": q_lang_analyze,
@@ -1323,6 +1388,13 @@ ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
                                         CAST(e.embedding AS DOUBLE[])))
                   * sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, e.vec_id
 LIMIT 10""",
+        # recall gates (q_ann_lsh_recall / q_ann_ivf_recall): the
+        # exact-top-10 id checksum per probe query is SQL-verified with
+        # the same (round(cos,9) desc, vec_id) tie-break; recall_ok is
+        # the measured approximate-recall gate, pinned true — a recall
+        # regression in the LSH/IVF kernels flips it and hash-fails.
+        "ann_lsh_recall": _ANN_RECALL_SQL,
+        "ann_ivf_recall": _ANN_RECALL_SQL,
         "cosine_near_dup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

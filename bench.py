@@ -388,7 +388,13 @@ def main():
     # workload-true host ceiling: 4 CONCURRENT local[1] builds (no
     # coordination at all) against the solo local[1] time — what
     # perfect scaling could at best achieve on this silicon
-    if high // low == 4:
+    # The 4x-concurrent equal-silicon control is opt-in: the in-build
+    # ceiling monitor now supplies the per-pair honesty control, and
+    # this phase costs 4 full local[1] builds (≈15 min in a storm) for
+    # a number that is itself window-hostage (measured 0.22-0.95
+    # across windows; the round-1 recorded control stands in
+    # BENCH/BASELINE.md).
+    if high // low == 4 and os.environ.get("BENCH_WORKLOAD_CEILING") == "1":
         # the control is only meaningful in a quiet window — in a
         # co-tenant storm it measures the storm (a 0.22 "ceiling" from
         # a crushed window says nothing about this pipeline), so probe
