@@ -286,11 +286,11 @@ def main():
     # If no pair is clean the gate falls back to the median of all
     # pairs (the round-1 statistic). Raw pairs + ceilings are always
     # published so the gate is auditable.
-    max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "6"))
+    max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "5"))
     min_pairs = max(2, BUILD_REPS - 1)
     CLEAN_CEIL = float(os.environ.get("BENCH_CLEAN_CEIL", "0.88"))
-    quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "240"))
-    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "1800"))
+    quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "150"))
+    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "1200"))
     t_pairs0 = time.time()
     lows, highs, ratios, ceils, norms = [], [], [], [], []
 
