@@ -247,8 +247,12 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     a head term's tail blocks are then retired wholesale without
     decode — the cost is sublinear in head-term df whenever θ
     separates from the head term's block maxima. A degenerate flat
-    corpus (every block bound ≈ θ) decodes everything, which is
-    exactly the brute-force floor.
+    corpus (every block bound ≈ θ) cannot skip anything; that regime
+    is detected as soon as θ exists (skippable share of remaining
+    blocks < 25% with no imminent list exhaustion) and the kernel
+    bails to the dense path — decode everything, score once with the
+    brute kernel — so flat-bound queries pay one wave of bookkeeping
+    instead of per-wave probing over the whole index.
     """
     zero = (np.empty(0, dtype=np.int64), np.empty(0))
     terms = sorted(tb)
@@ -333,32 +337,41 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
         live = remaining & (prio >= theta - _WAND_SLACK)
         if not live.any():
             break
-        # bailout: θ is set yet barely prunes anything while most of
-        # the index is still unvisited — the bound distribution is too
-        # flat for θ to separate (the brute-force regime); finish in
-        # one vectorized pass instead of paying per-wave bookkeeping
-        # for no skips
-        n_rem = int(remaining.sum())
-        if (np.isfinite(theta) and n_rem > 0.5 * b_term.size
-                and int(live.sum()) > 0.95 * n_rem):
-            for ti in range(nt):
-                ensure(ti, np.arange(blocks_of[ti]))
-            cand = np.unique(np.concatenate([cat[t][0] for t in terms]))
-            if scored.size:
-                pos = np.minimum(np.searchsorted(scored, cand),
-                                 scored.size - 1)
-                cand = cand[scored[pos] != cand]
-            if cand.size:
-                total = np.zeros(cand.size)
-                matched = np.zeros(cand.size, dtype=np.int32)
-                for ti in range(nt):
-                    contrib, hit = probe(ti, cand)
-                    total += contrib
-                    matched += hit.astype(np.int32)
-                got_d.append(cand)
-                got_s.append(total)
-                got_m.append(matched)
-            break
+        # dense bailout: θ exists yet provably retires almost nothing,
+        # and no list is close enough to exhaustion for the bounds to
+        # collapse soon — the bound distribution is too flat for θ to
+        # separate (the brute-force regime). Decode everything and
+        # finish with the brute kernel's single vectorized pass: the
+        # flat regime then costs one wave of bookkeeping, not per-wave
+        # probing over the whole index.
+        if np.isfinite(theta):
+            n_rem = int(remaining.sum())
+            skippable = n_rem - int(live.sum())
+            imminent = bool(((n_left > 0) & (n_left <= 2 * batch)
+                             & ~exhausted).any())
+            if skippable < 0.25 * n_rem and not imminent:
+                dense = {}
+                for t in terms:
+                    d = tb[t]
+                    full = d.get("dense")
+                    if full is None:
+                        # one bulk decode per term (re-decoding the few
+                        # wave-1 blocks is cheaper than stitching segs)
+                        dd, tf, dl = codec.decode_blocks_concat(
+                            d["deltas"], d["tfs"], d["dls"], d["nd"])
+                        tf = tf.astype(np.float64)
+                        dl = dl.astype(np.float64)
+                        sc = d["w"] * tf * (k1 + 1.0) / (
+                            tf + k1 * (1.0 - b + b * dl / max(avgdl, 1e-9)))
+                        full = (dd, sc)
+                        d["dense"] = full  # callers holding tb reuse it
+                    dense[t] = {"docids": full[0], "scores": full[1],
+                                "max_ub": float(d["ub"].max())}
+                if stats is not None:
+                    stats["blocks_decoded"] = int(blocks_of.sum())
+                    stats["blocks_total"] = int(blocks_of.sum())
+                    stats["dense_bailout"] = True
+                return _topk_from_terms(dense, k, msm_req, False)
         # cheap-exhaust: fully visiting a nearly-done list zeroes its
         # mu, collapsing every other term's bound — the lever that
         # lets a rare strong term stop poisoning head-block bounds
