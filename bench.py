@@ -103,7 +103,8 @@ def _burn(n):
     return s
 
 
-def quick_ceiling(low: int, high: int) -> float:
+def quick_ceiling(low: int, high: int, tasks: int = 16,
+                  burn: int = 1_500_000) -> float:
     """~2-4 s ALU-ceiling probe (single rep, small burn count) used to
     detect co-tenant storms BEFORE spending minutes on a build pair."""
     import multiprocessing as mp
@@ -111,22 +112,31 @@ def quick_ceiling(low: int, high: int) -> float:
     def measure(procs):
         with mp.Pool(procs) as p:
             t0 = time.time()
-            p.map(_burn, [1_500_000] * 16, chunksize=max(1, 16 // procs // 2))
+            p.map(_burn, [burn] * tasks, chunksize=max(1, tasks // procs // 2))
             return time.time() - t0
 
     t_lo, t_hi = measure(low), measure(high)
     return round((t_lo / t_hi) / (high / low), 3)
 
 
-def monitor_main(low: int, high: int, interval: float = 15.0):
+def monitor_main(low: int, high: int, interval: float = 45.0):
     """--monitor mode: run as a SUBPROCESS alongside a build, sampling
-    the quick ALU ceiling every ``interval`` s until SIGTERM. The
-    parent takes min(samples) as the pair's host-state evidence: a
+    a lightweight ALU ceiling every ``interval`` s until SIGTERM. The
+    parent uses the low samples as the pair's host-state evidence: a
     co-tenant burst during EITHER half of a pair shows up as a low
     sample, so a pair whose every in-build sample is ~linear carries a
-    trustworthy ratio — no cross-pair time heuristics needed."""
+    trustworthy ratio — no cross-pair time heuristics needed.
+
+    The probe itself perturbs the build it is monitoring, so it is
+    sized for a ~1-2% duty cycle (≈0.8 s burn every 45 s) instead of
+    the probe used for pre-pair quiet-window detection; SIGTERM is
+    translated to SystemExit so an in-flight mp.Pool is closed by its
+    context manager instead of orphaning idle workers."""
+    import signal
+    signal.signal(signal.SIGTERM, lambda *a: sys.exit(0))
     while True:
-        print(f"SAMPLE {quick_ceiling(low, high)}", flush=True)
+        print(f"SAMPLE {quick_ceiling(low, high, tasks=8, burn=600_000)}",
+              flush=True)
         time.sleep(interval)
 
 
@@ -274,23 +284,26 @@ def main():
     # Pair protocol (BENCH/BASELINE.md §scaling): this is a SHARED VM —
     # co-tenant load swings identical back-to-back builds by 2x within
     # minutes, which is host noise, not pipeline scalability. Each
-    # sample is therefore a back-to-back (low, high) pair with a
-    # pure-ALU ceiling measured in the SAME window, and the GATE number
-    # is the best pair that passes two cleanliness filters:
-    #   (a) in-window ALU ceiling ≥ CLEAN_CEIL — the host was actually
-    #       offering ~linear silicon during that pair;
-    #   (b) t_low ≤ 1.15 × min(t_low) across pairs — a co-tenant burst
-    #       during the low half INFLATES the ratio, so a slowed low
-    #       half disqualifies the pair (the filter only ever discards
-    #       flattering-but-dirty samples).
-    # If no pair is clean the gate falls back to the median of all
-    # pairs (the round-1 statistic). Raw pairs + ceilings are always
-    # published so the gate is auditable.
+    # sample is a back-to-back (low, high) pair; an in-build monitor
+    # subprocess samples a pure-ALU ceiling through BOTH halves, and a
+    # pair is CLEAN when its ceiling (second-lowest in-build sample,
+    # so one 2 s blip doesn't disqualify a minutes-long pair) is
+    # ≥ CLEAN_CEIL — i.e. the host offered ~linear silicon for the
+    # whole pair. The GATE number is the median over clean pairs
+    # (needs ≥ 2). Fallbacks, disclosed via scaling_gate_basis: with
+    # exactly one clean pair, that pair's ratio; with none, the median
+    # of all pairs. min-over-reps is published separately as
+    # corroboration, never as the gate. Raw pairs + ceilings are
+    # always published so the gate is auditable. Up to BENCH_MAX_PAIRS
+    # (default 5) pairs run, stopping early once ≥ 2 clean pairs reach
+    # a 0.8 median or the BENCH_PAIRS_BUDGET (default 1500 s) runs out
+    # after 3 pairs; each pair (including the first) first waits up to
+    # BENCH_QUIET_WAIT for a quiet window.
     max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "5"))
     min_pairs = max(2, BUILD_REPS - 1)
     CLEAN_CEIL = float(os.environ.get("BENCH_CLEAN_CEIL", "0.88"))
-    quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "150"))
-    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "1200"))
+    quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "240"))
+    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "1500"))
     t_pairs0 = time.time()
     lows, highs, ratios, ceils, norms = [], [], [], [], []
 
@@ -304,9 +317,10 @@ def main():
 
     for rep in range(max_pairs):
         # don't burn a multi-minute pair on a window a 3 s probe can
-        # already see is dirty (first pair runs regardless as a floor)
-        if rep > 0:
-            wait_for_quiet(low, high, CLEAN_CEIL, quiet_budget)
+        # already see is dirty — every pair waits (bounded) for quiet,
+        # including the first: one monitor-validated clean pair is
+        # worth more than an extra storm-window sample
+        wait_for_quiet(low, high, CLEAN_CEIL, quiet_budget)
         mon = CeilingMonitor(low, high)
         try:
             # alternate halves so monotonic drift biases both directions
@@ -361,17 +375,18 @@ def main():
     # are excluded in BOTH directions (a burst during the low half
     # inflates the ratio, during the high half deflates it; the
     # monitor catches either). Fallbacks keep the gate defined when
-    # the host never offers a clean window.
+    # the host never offers a clean window — each reports ONE
+    # pre-declared statistic (never a max over estimators, which
+    # would be systematically optimistic); eff_min above is published
+    # as corroboration only.
     if len(clean) >= 2:
         results["scaling_efficiency"] = round(median(clean), 3)
         results["scaling_gate_basis"] = "median_clean_pairs"
     elif clean:
-        results["scaling_efficiency"] = round(
-            max(clean[0], median(ratios), eff_min), 3)
-        results["scaling_gate_basis"] = "single_clean_pair_or_median"
+        results["scaling_efficiency"] = round(clean[0], 3)
+        results["scaling_gate_basis"] = "single_clean_pair"
     else:
-        results["scaling_efficiency"] = round(
-            max(median(ratios), eff_min), 3)
+        results["scaling_efficiency"] = round(median(ratios), 3)
         results["scaling_gate_basis"] = "median_all_pairs_no_clean_window"
     results["build_secs_low_all"] = [round(t, 1) for t in lows]
     results["build_secs_high_all"] = [round(t, 1) for t in highs]

@@ -500,46 +500,50 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     _arrow_prev = spark.conf.get(_arrow_key, "10000")
     spark.conf.set(_arrow_key, "65536")
-    for batch in batches:
-        key = f"buckets_{batch[0]}_{batch[-1]}"
-        if key in man.completed_batches:
-            log(f"[index] resume: skipping {key}")
-            continue
-        t0 = time.time()
-        part = (
-            tf_source.where(F.col("bucket").isin(batch))
-            .join(stats.where(F.col("bucket").isin(batch)).select("term", "df"), "term")
-            .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int"))
-            .repartition(n_enc_parts, "term", "shard")
-            .sortWithinPartitions("term", "shard", "docid")
-        )
-        from pyspark.sql import Observation
-        obs = Observation(f"batch_{key}")
-        out = (part.mapInArrow(_encode_stream, schema=POSTINGS_SCHEMA)
-               .observe(obs,
-                        F.count(F.lit(1)).alias("blocks"),
-                        F.approx_count_distinct("term").alias("terms"),
-                        F.sum("n_docs").alias("postings"),
-                        F.sum(F.length("deltas") + F.length("tfs")
-                              + F.length("dls")).alias("bytes")))
-        for bk in batch:  # idempotent: wipe any partial output of a crashed run
-            d = os.path.join(post_path, f"bucket={bk}")
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        out.write.mode("append").partitionBy("bucket").parquet(post_path)
+    # restored in the finally even when an encode batch throws: the
+    # override is session-wide and later kernels in the same session
+    # carry wide binary/text payloads (the reason the default is small)
+    try:
+        for batch in batches:
+            key = f"buckets_{batch[0]}_{batch[-1]}"
+            if key in man.completed_batches:
+                log(f"[index] resume: skipping {key}")
+                continue
+            t0 = time.time()
+            part = (
+                tf_source.where(F.col("bucket").isin(batch))
+                .join(stats.where(F.col("bucket").isin(batch)).select("term", "df"), "term")
+                .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int"))
+                .repartition(n_enc_parts, "term", "shard")
+                .sortWithinPartitions("term", "shard", "docid")
+            )
+            from pyspark.sql import Observation
+            obs = Observation(f"batch_{key}")
+            out = (part.mapInArrow(_encode_stream, schema=POSTINGS_SCHEMA)
+                   .observe(obs,
+                            F.count(F.lit(1)).alias("blocks"),
+                            F.approx_count_distinct("term").alias("terms"),
+                            F.sum("n_docs").alias("postings"),
+                            F.sum(F.length("deltas") + F.length("tfs")
+                                  + F.length("dls")).alias("bytes")))
+            for bk in batch:  # idempotent: wipe any partial output of a crashed run
+                d = os.path.join(post_path, f"bucket={bk}")
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            out.write.mode("append").partitionBy("bucket").parquet(post_path)
 
-        m = obs.get  # metrics harvested from the write job itself
-        man.completed_batches[key] = {
-            "buckets": batch, "blocks": int(m["blocks"]),
-            "terms": int(m["terms"]),
-            "postings": int(m["postings"] or 0), "bytes": int(m["bytes"] or 0),
-            "seconds": round(time.time() - t0, 2),
-        }
-        man.save(out_dir)
-        log(f"[index] {key}: ~{m['terms']} terms, {m['postings']} postings, "
-            f"{m['bytes']} B in {time.time()-t0:.1f}s")
-
-    spark.conf.set(_arrow_key, _arrow_prev)
+            m = obs.get  # metrics harvested from the write job itself
+            man.completed_batches[key] = {
+                "buckets": batch, "blocks": int(m["blocks"]),
+                "terms": int(m["terms"]),
+                "postings": int(m["postings"] or 0), "bytes": int(m["bytes"] or 0),
+                "seconds": round(time.time() - t0, 2),
+            }
+            man.save(out_dir)
+            log(f"[index] {key}: ~{m['terms']} terms, {m['postings']} postings, "
+                f"{m['bytes']} B in {time.time()-t0:.1f}s")
+    finally:
+        spark.conf.set(_arrow_key, _arrow_prev)
 
     if meta_thread is not None:
         meta_thread.join()

@@ -34,8 +34,14 @@ def _norm(a):
 
 
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k vs one query vector; (id, cosine)."""
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                tie_round: int | None = None) -> DataFrame:
+    """Exact cosine top-k vs one query vector; (id, cosine).
+
+    ``tie_round`` quantizes the ORDERING key to that many decimals
+    (value column unchanged) — pass 9 to reproduce a SQL oracle's
+    (round(cos, 9) DESC, id) tie-break exactly, so sub-1e-9 cosine
+    differences cannot select a different rank-k id than DuckDB."""
     q = F.transform(F.lit(query_vec), lambda x: x.cast("double"))
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # sequential (left-to-right) accumulation — bit-identical to the
@@ -45,10 +51,12 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         acc += float(x) * float(x)
     qn = float(np.sqrt(acc))
     cos = _dot(v, q) / (_norm(v) * F.lit(qn))
+    key = (F.round(F.col("cosine"), tie_round) if tie_round is not None
+           else F.col("cosine"))
     return (
         emb.select(F.col(id_col).alias("id"), cos.alias("cosine"))
         .where(F.col("cosine").isNotNull())
-        .orderBy(F.desc("cosine"), F.asc("id"))
+        .orderBy(F.desc(key), F.asc("id"))
         .limit(k)
     )
 
