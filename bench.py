@@ -493,6 +493,15 @@ def main():
         qs[name](spark, SF_DIR).collect()
         results[name] = round(time.time() - t0, 3)
 
+    # minhash signature throughput (the dedup pipeline's hot kernel;
+    # round-2 flagged the per-shingle-Python version as a 100 TB sink)
+    from jivesearch_spark.tdp import dedup as _dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_sig = docs.count()
+    t0 = time.time()
+    _dedup.minhash_signatures(docs, num_hashes=64).count()
+    results["minhash_sig_docs_per_sec"] = round(n_sig / (time.time() - t0), 1)
+
     spark.stop()
     total = round(time.time() - t_start, 2)
 

@@ -44,7 +44,8 @@ from pyspark.sql import functions as F
 from . import analyze, bm25
 from .hashing import term_bucket
 from .index import IndexParams, Manifest, assign_doc_ids, build_index
-from .query import _decode_term_arrays
+from .query import (_decode_term_arrays, _dense_arrays_from_tb,
+                    _term_block_meta, _topk_blockmax_lazy)
 from .session import ensure_shipped
 
 #: (field, source column, boost, shingle?) — search/elasticsearch.go:35-47
@@ -353,14 +354,18 @@ class FieldedLocalIndex:
         self.n_buckets = self.man[TLD_FIELD].params["n_buckets"]
         self._urls = None
         self._df_cache: dict[tuple[str, str], int] = {}
-        # decoded (field, term) array LRU — fielded queries touch up to
-        # 7 per-field pruned reads; hot terms skip read+decode (same
-        # pattern as serve.LocalIndex, scores cached ×idf×boost which
-        # are both constants of the index)
+        # two-level cache, same pattern as serve.LocalIndex: raw
+        # per-(field, term) block tables (compressed bytes + bounds,
+        # w pre-multiplied ×idf×boost and per-field avgdl pinned on
+        # the entry — all constants of the index) in an LRU, plus the
+        # lazy kernel's persistent decoded-block store so warm terms
+        # skip read AND decode at block granularity
         from collections import OrderedDict
-        self._arr_cache: "OrderedDict[tuple[str, str], dict]" = OrderedDict()
-        self._cached_postings = 0
+        self._meta_cache: "OrderedDict[tuple[str, str], dict]" = OrderedDict()
+        self._store: dict[tuple[str, str], dict] = {}
         self.arr_cache_max_postings = 16_000_000
+        #: kernel stats of the last topk call
+        self.last_stats: dict = {}
 
     def stats_for(self, field: str, terms: list[str]) -> dict[str, int]:
         import pyarrow.dataset as ds
@@ -393,7 +398,7 @@ class FieldedLocalIndex:
     def topk(self, query: str, k: int = 10, shingles: bool = True,
              tld_boost: str | None = None,
              min_should_match: bool = True,
-             offset: int = 0) -> list[tuple[str, float]]:
+             offset: int = 0, use_wand: bool = True) -> list[tuple[str, float]]:
         import pyarrow.dataset as ds
         plan = _query_plan(self, query, tld_boost)
         if plan is None:
@@ -412,15 +417,15 @@ class FieldedLocalIndex:
         specs = dict(plan["per_field"])
         if plan["tld"]:
             specs[TLD_FIELD] = plan["tld"]
-        # per-(field, term) arrays: cache hits skip the pruned read +
-        # decode; misses are fetched per field in one batched read.
-        # _decode_term_arrays orders blocks (term, shard, block_id), so
-        # arrays are globally docid-sorted and ONE kernel call returns
-        # the global top-k (same result set, gated rank-identical).
-        arrays = {}
+        # per-(field, term) RAW block tables: cache hits skip the
+        # pruned read; misses are fetched per field in one batched
+        # read. w = idf×boost and the per-field avgdl are pinned on
+        # each entry, so the lazy kernel scores every field with its
+        # own stats while sweeping ONE global bound table.
+        tb = {}
         for name, spec in specs.items():
             missing = [t for t in spec["terms"]
-                       if (name, t) not in self._arr_cache]
+                       if (name, t) not in self._meta_cache]
             if missing and self._post[name] is not None:
                 bks = sorted({term_bucket(t, self.n_buckets)
                               for t in missing})
@@ -429,28 +434,60 @@ class FieldedLocalIndex:
                 pdf = self._post[name].to_table(filter=flt,
                                                 columns=cols).to_pandas()
                 if len(pdf):
-                    decoded = _decode_term_arrays(
-                        pdf, {t: spec["idf"][t] for t in missing},
-                        k1, b, spec["avgdl"])
-                    for t, arr in decoded.items():
-                        arr["scores"] = arr["scores"] * spec["boost"]
-                        self._arr_cache[(name, t)] = arr
-                        self._cached_postings += int(arr["docids"].size)
+                    w = {t: spec["idf"][t] * spec["boost"] for t in missing}
+                    for t, meta in _term_block_meta(pdf, w).items():
+                        meta["avgdl"] = spec["avgdl"]
+                        self._meta_cache[(name, t)] = meta
             for t in spec["terms"]:
-                a = self._arr_cache.get((name, t))
-                if a is not None:
-                    self._arr_cache.move_to_end((name, t))
-                    arrays[(name, t)] = a
-        while (self._cached_postings > self.arr_cache_max_postings
-               and len(self._arr_cache) > len(arrays)):
-            _, old = self._arr_cache.popitem(last=False)
-            self._cached_postings -= int(old["docids"].size)
-        if not arrays:
+                meta = self._meta_cache.get((name, t))
+                if meta is not None:
+                    self._meta_cache.move_to_end((name, t))
+                    tb[(name, t)] = meta
+        if not any(key[0] != TLD_FIELD for key in tb):
             return []
-        docids, scores = _score_from_arrays(arrays, plan,
-                                            k + max(0, offset), req)
+
+        # cross_fields MSM groups: a candidate's matched count = the
+        # DISTINCT base terms hit in ANY unigram field; shingle keys
+        # score but never qualify, the tld key scores but never
+        # generates candidates (the reference's non-qualifying
+        # regional should-clause)
+        msm_group = {key: (key[1] if key[0] != TLD_FIELD
+                           and not specs[key[0]]["shingle"] else None)
+                     for key in tb}
+        no_cand = {key for key in tb if key[0] == TLD_FIELD}
+
+        def dense_score(dense):
+            return _score_from_arrays(dense, plan, k + max(0, offset), req)
+
+        self.last_stats = {}
+        if use_wand:
+            docids, scores = _topk_blockmax_lazy(
+                tb, k + max(0, offset), req, k1, b, 1.0,
+                stats=self.last_stats, store=self._store,
+                msm_group=msm_group, no_cand=no_cand, dense_fn=dense_score)
+        else:
+            docids, scores = dense_score(
+                _dense_arrays_from_tb(tb, k1, b, 1.0))
+        self._evict()
         docids, scores = docids[offset:], scores[offset:]
         if not docids.size:
             return []
         urls = self._url_of(docids)
         return [(urls[int(d)], float(s)) for d, s in zip(docids, scores)]
+
+    def _evict(self):
+        """LRU-evict (field, term) entries until decoded postings fit
+        the budget (same policy as serve.LocalIndex._evict)."""
+        def decoded(key):
+            n = self._store.get(key, {}).get("np", 0)
+            meta = self._meta_cache.get(key)
+            if meta is not None and meta.get("dense") is not None:
+                n += int(meta["dense"][0].size)
+            return n
+
+        total = sum(decoded(key) for key in self._meta_cache)
+        while total > self.arr_cache_max_postings and len(self._meta_cache) > 1:
+            key = next(iter(self._meta_cache))
+            total -= decoded(key)
+            self._meta_cache.pop(key)
+            self._store.pop(key, None)

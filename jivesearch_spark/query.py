@@ -221,9 +221,38 @@ def _term_block_meta(pdf, idf: dict) -> dict:
 _WAND_SLACK = 1e-9
 
 
+def _dense_arrays_from_tb(tb: dict, k1: float, b: float, avgdl: float,
+                          keys=None) -> dict:
+    """Decode EVERY block of the given tb entries into brute-kernel
+    arrays ({docids, scores, max_ub}), memoizing the decode on the tb
+    entry (``dense``) so callers holding tb (e.g. a serving-tier block
+    cache) pay the bulk decode once."""
+    dense = {}
+    for t in (keys if keys is not None else sorted(tb)):
+        d = tb[t]
+        full = d.get("dense")
+        if full is None:
+            dd, tf, dl = codec.decode_blocks_concat(
+                d["deltas"], d["tfs"], d["dls"], d["nd"])
+            tf = tf.astype(np.float64)
+            dl = dl.astype(np.float64)
+            ad = d.get("avgdl", avgdl)
+            sc = d["w"] * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dl / max(ad, 1e-9)))
+            full = (dd, sc)
+            d["dense"] = full
+        dense[t] = {"docids": full[0], "scores": full[1],
+                    "max_ub": float(d["ub"].max()) if d["ub"].size else 0.0}
+    return dense
+
+
 def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
                         k1: float, b: float, avgdl: float,
-                        stats: dict | None = None):
+                        stats: dict | None = None,
+                        store: dict | None = None,
+                        msm_group: dict | None = None,
+                        no_cand=None,
+                        dense_fn=None):
     """Lazy block-max top-k (score-neutral, rank-identical to brute).
 
     Vectorized equivalent of DAAT block-max WAND's in-list skipping
@@ -248,22 +277,57 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     decode — the cost is sublinear in head-term df whenever θ
     separates from the head term's block maxima. A degenerate flat
     corpus (every block bound ≈ θ) cannot skip anything; that regime
-    is detected as soon as θ exists (skippable share of remaining
-    blocks < 25% with no imminent list exhaustion) and the kernel
-    bails to the dense path — decode everything, score once with the
-    brute kernel — so flat-bound queries pay one wave of bookkeeping
-    instead of per-wave probing over the whole index.
+    is detected UPFRONT for ≤2-term queries (no block's own bound
+    sits below its term's max ⇒ nothing is ever retirable, so the
+    kernel goes dense before any wave bookkeeping) and mid-sweep
+    otherwise (as soon as θ exists: skippable share of remaining
+    blocks < 25% with no imminent list exhaustion) — flat-bound
+    queries pay at most one wave of bookkeeping instead of per-wave
+    probing over the whole index.
+
+    Generalizations for the serving tiers (all optional, defaults
+    reproduce the single-field Spark-kernel semantics):
+
+    * ``store``: a persistent dict {key -> {"seg", "cat", "np"}} that
+      outlives the call — decoded blocks accumulate across queries
+      (the serving tier's block-granular cache), so warm queries
+      decode nothing. The caller owns eviction.
+    * ``msm_group``: {key -> base term or None} — MSM counts DISTINCT
+      non-None groups hit (the fielded cross_fields rule); None keys
+      score but never qualify. Default: every key is its own group.
+    * ``no_cand``: keys that contribute score and bound but never
+      generate candidates (the reference's non-qualifying tld
+      should-clause) — their blocks are probe-only.
+    * ``dense_fn(dense_arrays)``: the brute kernel the flat-regime
+      bailouts delegate to (default ``_topk_from_terms``); fielded
+      passes its own cross-field scorer.
+    * per-key ``avgdl`` in a tb entry overrides the global (fielded
+      sub-indexes each carry their own).
     """
     zero = (np.empty(0, dtype=np.int64), np.empty(0))
-    terms = sorted(tb)
+    no_cand = no_cand or set()
+    terms = sorted(t for t in tb if t not in no_cand)
+    extras = sorted(t for t in tb if t in no_cand)
+    keys_all = terms + extras
     if not terms:
         return zero
+    if msm_group is None:
+        grp_of = {t: t for t in terms}          # per-key counting
+        grp_of.update({t: None for t in extras})
+    else:
+        grp_of = msm_group
+    if dense_fn is None:
+        dense_fn = lambda dense: _topk_from_terms(dense, k, msm_req, False)  # noqa: E731
     nt = len(terms)
-    max_ub = np.array([float(tb[t]["ub"].max()) for t in terms])
     dfs_of = np.array([int(tb[t]["nd"].sum()) for t in terms])
     blocks_of = np.array([tb[t]["ub"].size for t in terms])
+    blocks_all = int(blocks_of.sum()) + sum(tb[t]["ub"].size for t in extras)
+    # probe-only keys never exhaust, so they contribute their max ub
+    # to every unscored doc's bound for the whole sweep
+    extra_mu = float(sum(float(tb[t]["ub"].max()) for t in extras
+                         if tb[t]["ub"].size))
 
-    # ---- flat block table across terms ----
+    # ---- flat block table across candidate-generating terms ----
     b_term = np.repeat(np.arange(nt), blocks_of)
     b_ord = np.concatenate([np.arange(n) for n in blocks_of])
     b_ub = np.concatenate([tb[t]["ub"] for t in terms])
@@ -271,16 +335,42 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     n_left = blocks_of.copy()                      # unvisited blocks per term
     exhausted = np.zeros(nt, dtype=bool)
 
-    # ---- lazy decoded-block store ----
-    seg = {t: {} for t in terms}    # ordinal -> (docids, scores)
-    cat = {t: None for t in terms}  # concatenated decoded (docids, scores)
+    def go_dense():
+        dense = _dense_arrays_from_tb(tb, k1, b, avgdl, keys=keys_all)
+        if stats is not None:
+            stats["blocks_decoded"] = blocks_all
+            stats["blocks_total"] = blocks_all
+            stats["dense_bailout"] = True
+        return dense_fn(dense)
+
+    # upfront flat-bound bailout (≤2 terms): θ can never exceed the
+    # sum of per-key max bounds, so a block is retirable ONLY if its
+    # own ub sits strictly below its term's max — when (almost) none
+    # does, the sweep provably cannot skip, and the lazy machinery
+    # would only add bookkeeping + probe-triggered scatter decodes on
+    # top of the dense pass it ends in anyway (head-head queries over
+    # uniform synthetic corpora are exactly this shape)
+    if nt <= 2:
+        own_max = np.concatenate([
+            np.full(tb[t]["ub"].size, float(tb[t]["ub"].max())) for t in terms])
+        retirable = b_ub < own_max - _WAND_SLACK
+        if retirable.mean() < 0.25:
+            return go_dense()
+
+    # ---- lazy decoded-block store (caller-persistent when given) ----
+    if store is None:
+        store = {}
+    for t in keys_all:
+        store.setdefault(t, {"seg": {}, "cat": None, "np": 0})
     n_decoded = 0
 
-    def ensure(ti, ords):
+    def ensure(ki, ords):
         nonlocal n_decoded
-        t = terms[ti]
+        t = keys_all[ki]
         d = tb[t]
-        new = [int(o) for o in np.unique(ords) if int(o) not in seg[t]]
+        st = store[t]
+        seg = st["seg"]
+        new = [int(o) for o in np.unique(ords) if int(o) not in seg]
         if not new:
             return
         na = np.asarray(new, dtype=np.int64)
@@ -289,27 +379,30 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             [d["dls"][o] for o in new], d["nd"][na])
         tf = tf.astype(np.float64)
         dl = dl.astype(np.float64)
+        ad = d.get("avgdl", avgdl)
         sc = d["w"] * tf * (k1 + 1.0) / (
-            tf + k1 * (1.0 - b + b * dl / max(avgdl, 1e-9)))
+            tf + k1 * (1.0 - b + b * dl / max(ad, 1e-9)))
         offs = np.concatenate([[0], np.cumsum(d["nd"][na])])
         for i, o in enumerate(new):
-            seg[t][o] = (dd[offs[i]:offs[i + 1]], sc[offs[i]:offs[i + 1]])
+            seg[o] = (dd[offs[i]:offs[i + 1]], sc[offs[i]:offs[i + 1]])
         n_decoded += len(new)
-        os_ = sorted(seg[t])   # ordinal order == docid order (disjoint ranges)
-        cat[t] = (np.concatenate([seg[t][o][0] for o in os_]),
-                  np.concatenate([seg[t][o][1] for o in os_]))
+        st["np"] += int(d["nd"][na].sum())
+        os_ = sorted(seg)   # ordinal order == docid order (disjoint ranges)
+        st["cat"] = (np.concatenate([seg[o][0] for o in os_]),
+                     np.concatenate([seg[o][1] for o in os_]))
 
-    def probe(ti, cand):
-        """Exact per-term contributions for sorted unique ``cand``,
+    def probe(ki, cand):
+        """Exact per-key contributions for sorted unique ``cand``,
         decoding only the blocks that cover a candidate."""
-        t = terms[ti]
+        t = keys_all[ki]
         d = tb[t]
-        j = np.searchsorted(d["first"], cand, side="right") - 1
-        jc = np.clip(j, 0, d["first"].size - 1)
-        covered = (j >= 0) & (cand <= d["last"][jc])
-        if covered.any():
-            ensure(ti, jc[covered])
-        cd_cs = cat[t]
+        if d["first"].size:
+            j = np.searchsorted(d["first"], cand, side="right") - 1
+            jc = np.clip(j, 0, d["first"].size - 1)
+            covered = (j >= 0) & (cand <= d["last"][jc])
+            if covered.any():
+                ensure(ki, jc[covered])
+        cd_cs = store[t]["cat"]
         if cd_cs is None or cd_cs[0].size == 0:
             return np.zeros(cand.size), np.zeros(cand.size, dtype=bool)
         cd, cs = cd_cs
@@ -325,15 +418,19 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     theta = -np.inf
     batch = 8
     while remaining.any():
-        if msm_req and int((~exhausted).sum()) < msm_req:
-            break   # docs outside every exhausted list can't reach msm
+        if msm_req:
+            alive = {grp_of.get(terms[ti]) for ti in range(nt)
+                     if not exhausted[ti]}
+            alive.discard(None)
+            if len(alive) < msm_req:
+                break   # docs outside every exhausted list can't reach msm
         # per-term bound contribution: max ub over UNVISITED blocks —
         # a visited block's docs are all scored, so an unscored doc's
         # covering block in any term is necessarily unvisited
         mu = np.zeros(nt)
         for ti in np.unique(b_term[remaining]):
             mu[ti] = b_ub[remaining & (b_term == ti)].max()
-        prio = b_ub + (mu.sum() - mu[b_term])
+        prio = b_ub + (mu.sum() + extra_mu - mu[b_term])
         live = remaining & (prio >= theta - _WAND_SLACK)
         if not live.any():
             break
@@ -350,28 +447,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             imminent = bool(((n_left > 0) & (n_left <= 2 * batch)
                              & ~exhausted).any())
             if skippable < 0.25 * n_rem and not imminent:
-                dense = {}
-                for t in terms:
-                    d = tb[t]
-                    full = d.get("dense")
-                    if full is None:
-                        # one bulk decode per term (re-decoding the few
-                        # wave-1 blocks is cheaper than stitching segs)
-                        dd, tf, dl = codec.decode_blocks_concat(
-                            d["deltas"], d["tfs"], d["dls"], d["nd"])
-                        tf = tf.astype(np.float64)
-                        dl = dl.astype(np.float64)
-                        sc = d["w"] * tf * (k1 + 1.0) / (
-                            tf + k1 * (1.0 - b + b * dl / max(avgdl, 1e-9)))
-                        full = (dd, sc)
-                        d["dense"] = full  # callers holding tb reuse it
-                    dense[t] = {"docids": full[0], "scores": full[1],
-                                "max_ub": float(d["ub"].max())}
-                if stats is not None:
-                    stats["blocks_decoded"] = int(blocks_of.sum())
-                    stats["blocks_total"] = int(blocks_of.sum())
-                    stats["dense_bailout"] = True
-                return _topk_from_terms(dense, k, msm_req, False)
+                return go_dense()
         # cheap-exhaust: fully visiting a nearly-done list zeroes its
         # mu, collapsing every other term's bound — the lever that
         # lets a rare strong term stop poisoning head-block bounds
@@ -397,7 +473,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             ords = b_ord[take[b_term[take] == ti]]
             ensure(ti, ords)
             t = terms[ti]
-            cands.extend(seg[t][int(o)][0] for o in ords)
+            cands.extend(store[t]["seg"][int(o)][0] for o in ords)
             n_left[ti] -= ords.size
             if n_left[ti] == 0:
                 exhausted[ti] = True
@@ -410,11 +486,17 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
         if cand.size == 0:
             continue
         total = np.zeros(cand.size)
-        matched = np.zeros(cand.size, dtype=np.int32)
-        for ti in range(nt):       # fixed accumulation order (determinism)
-            contrib, hit = probe(ti, cand)
+        gm: dict = {}
+        for ki in range(len(keys_all)):   # fixed accumulation order
+            contrib, hit = probe(ki, cand)
             total += contrib
-            matched += hit.astype(np.int32)
+            g = grp_of.get(keys_all[ki])
+            if g is not None:
+                m = gm.get(g)
+                gm[g] = hit if m is None else (m | hit)
+        matched = np.zeros(cand.size, dtype=np.int32)
+        for m in gm.values():
+            matched += m.astype(np.int32)
         got_d.append(cand)
         got_s.append(total)
         got_m.append(matched)
@@ -431,7 +513,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
 
     if stats is not None:
         stats["blocks_decoded"] = n_decoded
-        stats["blocks_total"] = int(blocks_of.sum())
+        stats["blocks_total"] = blocks_all
 
     if not got_d:
         return zero

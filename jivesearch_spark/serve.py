@@ -11,15 +11,20 @@ read of a few posting lists. This module is that read path:
    (``bucket IN buckets(Q) AND term IN Q``): hive partition pruning
    on ``bucket`` + parquet row-group min/max pruning on ``term`` —
    IO per query is O(|Q| posting lists) regardless of corpus size.
-2. same pruned read over ``postings``; decode + score with the SAME
-   numpy kernels the Spark path uses (`query._decode_term_arrays` +
-   `query._topk_from_terms`, called once over the whole index instead
-   of per doc-shard — shard ranges partition the docid space, so the
-   concatenated arrays stay globally docid-sorted) — one code path ⇒
-   rank identity between serve and cluster modes is structural, and
-   the pinned tie-break (round(score,9) desc, docid asc) is
-   replicated exactly. Decoded per-term arrays are kept in a bounded
-   LRU so hot terms skip read+decode.
+2. same pruned read over ``postings`` — but only block METADATA is
+   materialized eagerly (compressed bytes + per-block bounds, via
+   `query._term_block_meta`); scoring runs the SAME lazy block-max
+   kernel as the Spark path (`query._topk_blockmax_lazy`) over the
+   whole index at once, so a head term's tail blocks are never
+   decoded when the top-k threshold retires them (Lucene-style
+   in-list skipping — the reference's ES serving analog,
+   search/elasticsearch.go:66). One code path ⇒ rank identity
+   between serve and cluster modes is structural, and the pinned
+   tie-break (round(score,9) desc, docid asc) is replicated exactly.
+   Decoded blocks persist across queries in a block-granular store
+   (bounded by decoded postings, LRU by term), so warm queries
+   decode nothing; raw block metadata sits in its own LRU keyed by
+   term.
 
 At 10^12 docs this is how a serving tier in front of the index works:
 each frontend holds the manifest + term→df cache; every query reads
@@ -33,7 +38,8 @@ from __future__ import annotations
 from . import bm25
 from .hashing import term_bucket
 from .index import Manifest
-from .query import _decode_term_arrays, _topk_from_terms, analyze_query
+from .query import (_dense_arrays_from_tb, _term_block_meta,
+                    _topk_blockmax_lazy, _topk_from_terms, analyze_query)
 
 _POSTING_COLS = ["term", "shard", "block_id", "first_docid", "last_docid",
                  "n_docs", "max_score_ub", "deltas", "tfs", "dls"]
@@ -55,16 +61,22 @@ class LocalIndex:
         self._postings = ds.dataset(f"{root}/postings", partitioning=part)
         self._stats = ds.dataset(f"{root}/term_stats", partitioning=part)
         self._df_cache: dict[str, int] = {}
-        # decoded posting-list LRU (the serving analog of the
-        # reference's result cache, frontend/search.go:439-453 — ours
-        # caches the expensive artifact, decoded term arrays, which is
-        # score-exact rather than TTL-stale). Bounded by total cached
-        # postings; head terms dominate query logs, so hot queries skip
-        # read+decode entirely.
+        # two-level cache (the serving analog of the reference's
+        # result cache, frontend/search.go:439-453 — ours caches the
+        # expensive artifacts, score-exact rather than TTL-stale):
+        # _meta_cache holds RAW per-term block tables (compressed
+        # bytes + bounds — cheap, skips the pruned read), _store holds
+        # DECODED blocks at block granularity (what the lazy kernel
+        # actually touched — skips decode). Eviction is LRU by term
+        # over the decoded-postings budget; head terms dominate query
+        # logs, so hot queries do no IO and no decode.
         from collections import OrderedDict
-        self._term_cache: OrderedDict[str, dict] = OrderedDict()
-        self._cached_postings = 0
+        self._meta_cache: OrderedDict[str, dict] = OrderedDict()
+        self._store: dict[str, dict] = {}
         self.term_cache_max_postings = 16_000_000
+        #: per-query kernel stats of the LAST topk/topk_batch call:
+        #: {query: {"blocks_decoded", "blocks_total", ...}}
+        self.last_stats: dict[str, dict] = {}
 
     # -- lookups ----------------------------------------------------------
     def buckets_of(self, terms: list[str]) -> list[int]:
@@ -115,45 +127,73 @@ class LocalIndex:
         live = [t for t in all_terms if t in dfs]
         n_docs, avgdl = self.man.n_docs, self.man.avgdl
 
-        # decode each term ONCE for the whole batch and the whole index
-        # (shard ranges partition the docid space, so the concatenated
-        # per-term arrays are globally docid-sorted) — no per-shard or
-        # per-query re-decode; the kernel then computes the GLOBAL
-        # top-k directly, which also gives WAND a global θ (strictly
-        # more pruning than the per-shard θ, still score-neutral).
-        # Cache hits skip the pruned read + decode altogether.
-        missing = [t for t in live if t not in self._term_cache]
+        # fetch RAW block tables once for the whole batch and the
+        # whole index (shard ranges partition the docid space, so each
+        # term's block ordinals are globally docid-ordered) — decode
+        # happens lazily inside the kernel, block by block, only when
+        # a block's bound can still beat the global θ. Cache hits skip
+        # the pruned read; the persistent segment store skips decode.
+        missing = [t for t in live if t not in self._meta_cache]
         if missing:
             pdf = self._blocks_for(missing)
             if len(pdf):
                 idf_m = {t: bm25.idf(n_docs, dfs[t]) for t in missing}
-                for t, a in _decode_term_arrays(
-                        pdf, idf_m, self.k1, self.b, avgdl).items():
-                    self._term_cache[t] = a
-                    self._cached_postings += int(a["docids"].size)
-        arrays = {}
+                for t, meta in _term_block_meta(pdf, idf_m).items():
+                    self._meta_cache[t] = meta
+        tb_all = {}
         for t in live:
-            a = self._term_cache.get(t)
-            if a is not None:
-                self._term_cache.move_to_end(t)
-                arrays[t] = a
-        while (self._cached_postings > self.term_cache_max_postings
-               and len(self._term_cache) > len(arrays)):
-            _, old = self._term_cache.popitem(last=False)
-            self._cached_postings -= int(old["docids"].size)
-        if not arrays:
+            meta = self._meta_cache.get(t)
+            if meta is not None:
+                self._meta_cache.move_to_end(t)
+                tb_all[t] = meta
+        if not tb_all:
             return {q: [] for q in queries}
 
+        self.last_stats = {}
         out = {}
         for q in queries:
             q_terms = analyzed[q]
-            present = [t for t in q_terms if t in dfs and t in arrays]
+            present = [t for t in q_terms if t in tb_all]
             if not present:
                 out[q] = []
                 continue
             req = bm25.msm_required(len(q_terms)) if min_should_match else 0
-            d, s = _topk_from_terms({t: arrays[t] for t in present},
-                                    k + max(0, offset), req, use_wand)
+            tb = {t: tb_all[t] for t in present}
+            qstats: dict = {}
+            if use_wand:
+                d, s = _topk_blockmax_lazy(tb, k + max(0, offset), req,
+                                           self.k1, self.b, avgdl,
+                                           stats=qstats, store=self._store)
+            else:
+                # brute path (the rank-identity oracle): decode-all,
+                # memoized on the cached meta entries
+                dense = _dense_arrays_from_tb(tb, self.k1, self.b, avgdl)
+                d, s = _topk_from_terms(dense, k + max(0, offset), req, False)
+                qstats = {"blocks_decoded": sum(m["ub"].size for m in tb.values()),
+                          "blocks_total": sum(m["ub"].size for m in tb.values()),
+                          "dense_bailout": True}
+            self.last_stats[q] = qstats
             out[q] = [(int(di), float(si))
                       for di, si in zip(d[offset:], s[offset:])]
+        self._evict()
         return out
+
+    def _evict(self):
+        """LRU-evict terms until decoded postings fit the budget.
+        Decoded cost per term = lazily-decoded segment postings plus a
+        memoized dense decode if the kernel bailed out; evicting drops
+        BOTH the decoded artifacts and the raw block table (the next
+        touch re-reads the pruned parquet, which is the cheap part)."""
+        def decoded(t):
+            n = self._store.get(t, {}).get("np", 0)
+            meta = self._meta_cache.get(t)
+            if meta is not None and meta.get("dense") is not None:
+                n += int(meta["dense"][0].size)
+            return n
+
+        total = sum(decoded(t) for t in self._meta_cache)
+        while total > self.term_cache_max_postings and len(self._meta_cache) > 1:
+            t = next(iter(self._meta_cache))
+            total -= decoded(t)
+            self._meta_cache.pop(t)
+            self._store.pop(t, None)

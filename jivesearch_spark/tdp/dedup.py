@@ -116,31 +116,115 @@ def _minhash_params(num_hashes: int, seed: int = 42):
     return a, b
 
 
+# --- vectorized 64-bit hashing primitives (no per-shingle Python) ----------
+
+_MIX_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX_C2 = np.uint64(0x94D049BB133111EB)
+_U64 = np.uint64
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a full-avalanche bijection on uint64,
+    vectorized (array uint64 ops wrap mod 2^64 by definition)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> _U64(30)
+    x *= _MIX_C1
+    x ^= x >> _U64(27)
+    x *= _MIX_C2
+    x ^= x >> _U64(31)
+    return x
+
+
+def _token_hashes(toks: list[str], cache: dict) -> np.ndarray:
+    """md5-derived 64-bit hash per token, memoized across the batch —
+    token vocabularies are Zipfian, so the md5 count collapses from
+    one-per-shingle-occurrence to one-per-distinct-token-per-batch."""
+    import hashlib
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(th: np.ndarray, n: int) -> np.ndarray:
+    """61-bit hashes of the n-token shingles of a token-hash sequence:
+    position-sensitive splitmix chain over the window, one vectorized
+    pass per window offset (n-1 passes total, never per-shingle)."""
+    m = th.size - n + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64)
+    g = th[:m].copy()
+    for j in range(1, n):
+        g = _mix64(g) ^ th[j:m + j]
+    return np.unique(_mix64(g) & _U64(MERSENNE_P))
+
+
+def _mulmod61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Exact (x*y) mod (2^61-1) for uint64 arrays < 2^61, computed in
+    32-bit lanes (the object-dtype-free Mersenne modmul): the 122-bit
+    product is assembled as hi·2^64 + lo with an explicit carry, then
+    folded via 2^64 ≡ 8 and 2^61 ≡ 1 (mod p)."""
+    p = _U64(MERSENNE_P)
+    mask32 = _U64(0xFFFFFFFF)
+    x_hi, x_lo = x >> _U64(32), x & mask32
+    y_hi, y_lo = y >> _U64(32), y & mask32
+    mid = x_hi * y_lo + x_lo * y_hi            # < 2^62, exact
+    lo0 = x_lo * y_lo                          # < 2^64, exact
+    lo = lo0 + ((mid & mask32) << _U64(32))    # wraps mod 2^64
+    carry = (lo < lo0).astype(np.uint64)
+    hi = x_hi * y_hi + (mid >> _U64(32)) + carry
+    r = (hi << _U64(3)) + (lo & p) + (lo >> _U64(61))
+    r = (r & p) + (r >> _U64(61))
+    r = (r & p) + (r >> _U64(61))
+    return np.where(r >= p, r - p, r)
+
+
+def _minhash_sig(hv: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """min over shingle hashes of (a·h + b) mod p, all lanes at once:
+    (H, S) broadcast modmul + one fold for the addition."""
+    p = _U64(MERSENNE_P)
+    v = _mulmod61(hv[None, :], a[:, None]) + b[:, None]   # < 2^62
+    v = (v & p) + (v >> _U64(61))
+    v = np.where(v >= p, v - p, v)
+    return v.min(axis=1)
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
                        seed: int = 42) -> DataFrame:
-    """(id, sig: array<long>) — one vectorized Arrow kernel, no shuffle."""
+    """(id, sig: array<long>) — one vectorized Arrow kernel, no shuffle.
+
+    Fully vectorized hot path (no per-shingle Python): tokens hash via
+    a batch-memoized md5 (one call per distinct token per batch, not
+    per shingle occurrence), shingle hashes come from a position-
+    sensitive splitmix64 chain over token-hash windows, and the
+    (a·h + b) mod (2^61-1) sketch runs the exact Mersenne modmul in
+    32-bit uint64 lanes (_mulmod61) — object dtype nowhere. Values are
+    batch-independent (the token cache only memoizes a pure function),
+    so signatures are identical at any partitioning."""
     import pandas as pd
 
     ensure_shipped(docs.sparkSession)
     a_vec, b_vec = _minhash_params(num_hashes, seed)
 
     def _sig(batch_iter):
-        import hashlib
-        a = a_vec.astype(np.object_)  # python ints: exact 61-bit modmul
-        b = b_vec.astype(np.object_)
+        a = a_vec.astype(np.uint64)
+        b = b_vec.astype(np.uint64)
+        cache: dict = {}
+        sentinel = [int(MERSENNE_P)] * num_hashes
         for pdf in batch_iter:
             out = []
             for did, text in zip(pdf["id"], pdf["text"]):
                 toks = analyze.py_tokens(text or "")
-                grams = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-                if not grams:
-                    out.append((did, [int(MERSENNE_P)] * num_hashes))
+                hv = _shingle_hashes(_token_hashes(toks, cache), n)
+                if hv.size == 0:
+                    out.append((did, sentinel))
                     continue
-                hv = np.array(
-                    [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big") & ((1 << 61) - 1)
-                     for g in sorted(grams)], dtype=np.object_)
-                sig = np.min((hv[None, :] * a[:, None] + b[:, None]) % MERSENNE_P, axis=1)
+                sig = _minhash_sig(hv, a, b)
                 out.append((did, [int(x) for x in sig]))
             yield pd.DataFrame(out, columns=["id", "sig"])
 
@@ -222,14 +306,21 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 64, bands: int = 16,
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over unigram tokens, tf-weighted (vectorized)."""
+    """64-bit SimHash over unigram tokens, tf-weighted (vectorized).
+
+    Token md5s are batch-memoized (one hash per distinct token per
+    batch — the md5 loop was the kernel's dominant cost on Zipfian
+    text); bit expansion and voting were already numpy. Signatures are
+    UNCHANGED from the unmemoized kernel (md5 is pure), so they are
+    partitioning- and batch-independent."""
     import pandas as pd
 
     ensure_shipped(docs.sparkSession)
 
     def _sim(batch_iter):
-        import hashlib
         from collections import Counter
+        cache: dict = {}
+        bitpos = np.arange(64, dtype=np.uint64)
         for pdf in batch_iter:
             out = []
             for did, text in zip(pdf["id"], pdf["text"]):
@@ -237,15 +328,12 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                 if not counts:
                     out.append((did, 0))
                     continue
-                hv = np.array(
-                    [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
-                     for t in counts], dtype=np.uint64)
+                hv = _token_hashes(list(counts), cache)
                 w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-                bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                bits = ((hv[:, None] >> bitpos[None, :])
                         & np.uint64(1)).astype(np.int64)
                 votes = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
-                sig = int(((votes > 0).astype(np.uint64)
-                           << np.arange(64, dtype=np.uint64)).sum())
+                sig = int(((votes > 0).astype(np.uint64) << bitpos).sum())
                 out.append((did, sig - (1 << 64) if sig >= (1 << 63) else sig))
             yield pd.DataFrame(out, columns=["id", "simhash"])
 

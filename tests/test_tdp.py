@@ -109,6 +109,47 @@ def test_minhash_band_bucket_cap(spark, docs):
 
 
 @pytest.mark.spark
+def test_signatures_deterministic_and_vectorized_exact(spark, docs):
+    """The vectorized signature kernels are partitioning-independent
+    (identical signatures at 1 vs 8 partitions — the per-batch token
+    cache memoizes a pure function, so batch boundaries can't leak
+    into values) and the 32-bit-lane Mersenne modmul reproduces the
+    object-dtype (exact big-int) sketch bit-for-bit."""
+    import numpy as np
+
+    from jivesearch_spark import analyze
+    from jivesearch_spark.tdp.dedup import (MERSENNE_P, _minhash_params,
+                                            _minhash_sig, _shingle_hashes,
+                                            _token_hashes)
+
+    d = docs.select("doc_id", "text")
+    s1 = {r.id: tuple(r.sig)
+          for r in dedup.minhash_signatures(d.coalesce(1)).collect()}
+    s8 = {r.id: tuple(r.sig)
+          for r in dedup.minhash_signatures(d.repartition(8)).collect()}
+    assert s1 == s8 and len(s1) == d.count()
+    h1 = {r.id: r.simhash
+          for r in dedup.simhash_signatures(d.coalesce(1)).collect()}
+    h8 = {r.id: r.simhash
+          for r in dedup.simhash_signatures(d.repartition(8)).collect()}
+    assert h1 == h8
+
+    # driver-side reference: same shingle hashes through the exact
+    # object-dtype modmul must equal the Spark kernel's uint64 lanes
+    a_vec, b_vec = _minhash_params(64)
+    rows = d.limit(5).collect()
+    for r in rows:
+        hv = _shingle_hashes(_token_hashes(analyze.py_tokens(r.text), {}), 3)
+        if hv.size == 0:
+            continue
+        ref = np.min((hv.astype(object)[None, :] * a_vec.astype(object)[:, None]
+                      + b_vec.astype(object)[:, None]) % MERSENNE_P, axis=1)
+        got = _minhash_sig(hv, a_vec.astype(np.uint64), b_vec.astype(np.uint64))
+        assert [int(x) for x in got] == [int(x) for x in ref]
+        assert s1[r.doc_id] == tuple(int(x) for x in got)
+
+
+@pytest.mark.spark
 def test_simhash_identical_docs_collide(spark, docs):
     two = docs.limit(1).unionByName(
         docs.limit(1).withColumn("doc_id", F.col("doc_id") + 100000))
