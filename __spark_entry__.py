@@ -688,24 +688,32 @@ def _hexbyte_sql(col: str, pos: int) -> str:
 
 def _extract_pages_sql() -> str:
     """Oracle for q_extract_pages: a VALUES table of the corpus'
-    golden (url, lang, text) — text computed by the pinned FIELD rules
-    in corpus.gen_page, independent of the HTML parser under test —
-    with domain re-derived in SQL (eTLD+1 over the corpus' 2-level
-    public suffixes) and text hashed by DuckDB's own md5."""
+    golden (url, lang, text, title, keywords, description, path_parts)
+    — text AND the per-field values computed by the pinned FIELD rules
+    in corpus.gen_page_full, independent of the HTML parser under test
+    (edge rows carry hand-derived fields) — with domain re-derived in
+    SQL (eTLD+1 over the corpus' 2-level public suffixes) and text
+    hashed by DuckDB's own md5."""
     from jivesearch_spark import corpus, gourl
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
     vals = []
     for i in range(200):
-        url, _ts, _html, golden_text, lang = corpus.gen_page(i)
+        url, _ts, _html, golden_text, lang, flds = corpus.gen_page_full(i)
         try:
             u = gourl.validate_url(url).string()
         except (gourl.URLError, ValueError):
             continue  # invalid rows are filtered on the Spark side too
-        t = golden_text.replace("'", "''")
-        vals.append(f"('{u}', '{lang}', '{t}')")
+        vals.append("(" + ", ".join([
+            q(u), q(lang), q(golden_text), q(flds["title"]),
+            q(flds["keywords"]), q(flds["description"]),
+            q(flds["path_parts"])]) + ")")
     return f"""
-WITH g(url, lang, text) AS (VALUES {", ".join(vals)}),
-h AS (SELECT url, lang, text,
-        string_split(lower(regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)), '.') AS parts
+WITH g(url, lang, text, title, keywords, description, path_parts)
+  AS (VALUES {", ".join(vals)}),
+h AS (SELECT *, string_split(lower(regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1)), '.') AS parts
       FROM g)
 SELECT url,
        CASE WHEN text = '' THEN ''
@@ -713,7 +721,8 @@ SELECT url,
                  IN ('co.uk', 'com.br', 'co.jp')
             THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
             ELSE parts[-2] || '.' || parts[-1] END AS domain,
-       lang, (text = '') AS stub, md5(text) AS text_md5
+       lang, (text = '') AS stub, md5(text) AS text_md5,
+       title, keywords, description, path_parts
 FROM h"""
 
 
@@ -863,7 +872,10 @@ def q_ann_ivf_recall(spark, sf_dir):
 
 def q_media_decode(spark, sf_dir):
     """Stub media decode over deterministic payloads; exact DuckDB
-    oracle (_media_decode_sql) recomputes the digest-derived fields."""
+    oracle (_media_decode_sql) recomputes the digest-derived fields.
+    decoder='stub' pins the oracle-replayable path — production calls
+    use decoder='auto', which import-probes Pillow per executor and
+    upgrades to real decode when the library exists."""
     from jivesearch_spark.tdp import multimodal
     payloads = [
         (i, (b"\x89PNG\r\n\x1a\n" if i % 3 == 0 else
@@ -871,7 +883,7 @@ def q_media_decode(spark, sf_dir):
         for i in range(60)
     ]
     media = spark.createDataFrame(payloads, "media_id long, payload binary")
-    return multimodal.decode_media(media).select(
+    return multimodal.decode_media(media, decoder="stub").select(
         "media_id", "kind", "width", "height", "nsfw_score", "ok")
 
 
@@ -920,7 +932,8 @@ def q_extract_pages(spark, sf_dir):
     return ex.select(
         "url", "domain", "lang",
         (~(F.col("index") & F.col("canonical"))).alias("stub"),
-        F.md5("text").alias("text_md5"))
+        F.md5("text").alias("text_md5"),
+        "title", "keywords", "description", "path_parts")
 
 
 # ---------------------------------------------------------------------------

@@ -163,15 +163,29 @@ class Bangs:
 DEFAULT_SUGGEST_TRIGGERS = ("g", "a", "b", "reddit", "w")
 
 #: env var naming a full bangs.toml corpus (the reference ships 7,438
-#: bangs in bangs/bangs.toml); when unset/missing, BUILTIN is used.
+#: bangs in bangs/bangs.toml); when unset/missing, well-known install
+#: locations are probed, then BUILTIN is used.
 BANGS_TOML_ENV = "JIVESEARCH_BANGS_TOML"
+
+#: probed when the env is unset: a local data dir, then a read-only
+#: reference checkout (bangs/bangs.go loads the same file shape)
+BANGS_TOML_PATHS = (
+    "data/bangs.toml",
+    "/root/reference/bangs/bangs.toml",
+)
 
 
 def corpus_path() -> str | None:
-    """Path of the full bangs corpus, if one is wired via env."""
+    """Path of the full bangs corpus: the env wins, else the first
+    well-known location that exists, else None (→ BUILTIN)."""
     import os
     p = os.environ.get(BANGS_TOML_ENV, "")
-    return p if p and os.path.exists(p) else None
+    if p:
+        return p if os.path.exists(p) else None
+    for cand in BANGS_TOML_PATHS:
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def default_corpus() -> list[Bang]:

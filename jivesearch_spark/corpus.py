@@ -75,7 +75,8 @@ def _words(rng: random.Random, lo: int, hi: int) -> list[str]:
 
 
 def _golden_fields(url: str, title_raw: str, keywords_raw: str, desc_raw: str):
-    """Apply the pinned per-field rules directly (no HTML parsing)."""
+    """Apply the pinned per-field rules directly (no HTML parsing);
+    returns (canonical_url, fields_dict, text)."""
     title = extract.extract_text(title_raw, extract.TRUNCATE_TITLE)
     words = gourl.remove_duplicates(keywords_raw.replace(",", " ").split())
     if len(words) > extract.TRUNCATE_KEYWORDS:
@@ -86,7 +87,15 @@ def _golden_fields(url: str, title_raw: str, keywords_raw: str, desc_raw: str):
     domain = psl.effective_tld_plus_one(u.host)
     pparts = gourl.path_parts(u.path)
     text = " ".join(p for p in (title, keywords, desc, domain, pparts) if p)
-    return u.string(), text
+    fields = {"title": title, "keywords": keywords, "description": desc,
+              "path_parts": pparts}
+    return u.string(), fields, text
+
+
+#: stub projection's field values (crawler.go:311-322 keeps identity
+#: fields only)
+_STUB_FIELDS = {"title": "", "keywords": "", "description": "",
+                "path_parts": ""}
 
 
 _HTML_TMPL = """<!DOCTYPE html>
@@ -102,6 +111,17 @@ _HTML_TMPL = """<!DOCTYPE html>
 
 def gen_page(i: int, seed: int = 42) -> tuple[str, dt.datetime, bytes, str, str]:
     """One deterministic page row: (url, warc_ts, html, text, lang)."""
+    return gen_page_full(i, seed)[:5]
+
+
+def gen_page_full(i: int, seed: int = 42):
+    """gen_page plus the GOLDEN per-field values as a 6th element:
+    (url, warc_ts, html, text, lang, fields) with fields =
+    {title, keywords, description, path_parts} derived by the pinned
+    FIELD rules from the raw ingredients (never by parsing the html),
+    so an oracle can check the extractor field-by-field against an
+    independent derivation. Stub rows carry all-empty fields (the
+    reference's stub projection)."""
     if i < len(_EDGE_ROWS):
         return _EDGE_ROWS[i]()
     rng = random.Random((seed << 32) ^ i)
@@ -167,26 +187,34 @@ def gen_page(i: int, seed: int = 42) -> tuple[str, dt.datetime, bytes, str, str]
         alt=" ".join(_words(rng, 1, 4)),
     )
 
-    canonical_id, text = _golden_fields(url, title_raw,
-                                        keywords_raw if kw_words else "",
-                                        desc_raw)
+    canonical_id, fields, text = _golden_fields(
+        url, title_raw, keywords_raw if kw_words else "", desc_raw)
     if noindex or non_canonical:
         text = ""  # stub projection (crawler.go:311-322)
+        fields = dict(_STUB_FIELDS)
 
     ts = dt.datetime(2017, 1, 1) + dt.timedelta(
         seconds=rng.randint(0, 546 * 24 * 3600))
     resolved = extract.match_language(lang)
-    return url, ts, html.encode("utf-8"), text, resolved
+    return url, ts, html.encode("utf-8"), text, resolved, fields
 
 
 # ---------------------------------------------------------------------------
 # Mandatory edge rows (FIXTURES.md §1) — fixed, handcrafted
 # ---------------------------------------------------------------------------
 
-def _edge(url, html_str, text, lang="en", charset="utf-8", ts_day=1):
+def _edge(url, html_str, text, lang="en", charset="utf-8", ts_day=1,
+          fields=None):
+    """``fields`` = handcrafted golden per-field values (title,
+    keywords, description, path_parts), derived BY HAND from the raw
+    ingredients by the pinned FIELD rules — stub rows (empty text)
+    default to the all-empty stub projection."""
+    f6 = dict(_STUB_FIELDS) if fields is None else {**_STUB_FIELDS, **fields}
+    assert fields is not None or text == "", url  # non-stub rows need fields
+
     def _f():
         return (url, dt.datetime(2017, 6, ts_day),
-                html_str.encode(charset), text, lang)
+                html_str.encode(charset), text, lang, f6)
     return _f
 
 
@@ -202,47 +230,61 @@ def _mk_edges():
         "<body><p>body</p></body></html>",
         "The title of a page some keywords for a search engine "
         "A description of the content example.com "
-        "This Part Can Be UpperCase or lowercase"))
+        "This Part Can Be UpperCase or lowercase",
+        fields={"title": "The title of a page",
+                "keywords": "some keywords for a search engine",
+                "description": "A description of the content",
+                "path_parts": "This Part Can Be UpperCase or lowercase"}))
     # 2: co.uk eTLD+1 + weird chars (TestNew)
     rows.append(_edge(
         "https://api.example.co.uk/path<s/t#his[/?q=that&p=#that",
         '<html><head><meta charset="utf-8"><title>weird</title></head></html>',
-        "weird example.co.uk path<s t"))
+        "weird example.co.uk path<s t",
+        fields={"title": "weird", "path_parts": "path<s t"}))
     # 3: fragment stripped
     rows.append(_edge(
         "https://example.com/pagina/#something",
         '<html><head><meta charset="utf-8"><title>pagina page</title></head></html>',
-        "pagina page example.com pagina"))
+        "pagina page example.com pagina",
+        fields={"title": "pagina page", "path_parts": "pagina"}))
     # 4: title > 100 bytes (byte truncation)
     long_title = "aaaa " * 30  # 150 bytes
     rows.append(_edge(
         "https://long.example.com/title.html",
         f'<html><head><meta charset="utf-8"><title>{long_title}</title></head></html>',
-        extract.extract_text(long_title, 100) + " example.com title"))
+        extract.extract_text(long_title, 100) + " example.com title",
+        fields={"title": extract.extract_text(long_title, 100),
+                "path_parts": "title"}))
     # 5: keywords > 25 words with duplicates
     kws = ", ".join(f"k{i}" for i in range(30)) + ", k0, k1"
     golden_kw = " ".join(f"k{i}" for i in range(25))
     rows.append(_edge(
         "https://kw.example.com/words",
         f'<html><head><meta charset="utf-8"><meta name="keywords" content="{kws}"/></head></html>',
-        golden_kw + " example.com words"))
+        golden_kw + " example.com words",
+        fields={"keywords": golden_kw, "path_parts": "words"}))
     # 6: description > 250 bytes
     desc = "word " * 80
     rows.append(_edge(
         "https://desc.example.com/d",
         f'<html><head><meta charset="utf-8"><meta name="description" content="{desc}"></head></html>',
-        extract.extract_text(desc, 250) + " example.com d"))
+        extract.extract_text(desc, 250) + " example.com d",
+        fields={"description": extract.extract_text(desc, 250),
+                "path_parts": "d"}))
     # 7: empty title, missing metas
     rows.append(_edge(
         "https://empty.example.com/nothing/here",
         '<html><head><meta charset="utf-8"><title></title></head><body>hi</body></html>',
-        "example.com nothing here"))
+        "example.com nothing here",
+        fields={"path_parts": "nothing here"}))
     # 8: multibyte char straddling the 100-byte title boundary
     mb_title = "x" + "é" * 60  # 121 bytes; byte 100 lands mid-rune
     rows.append(_edge(
         "https://mb.example.com/multibyte",
         f'<html><head><meta charset="utf-8"><title>{mb_title}</title></head></html>',
-        extract.extract_text(mb_title, 100) + " example.com multibyte"))
+        extract.extract_text(mb_title, 100) + " example.com multibyte",
+        fields={"title": extract.extract_text(mb_title, 100),
+                "path_parts": "multibyte"}))
     # 9: noindex,nofollow → stub (empty text)
     rows.append(_edge(
         "https://noindex.example.com/secret",
@@ -266,40 +308,49 @@ def _mk_edges():
         "https://selfcanon.example.com/self",
         '<html><head><meta charset="utf-8"><title>self canon</title>'
         '<link rel="canonical" href="https://selfcanon.example.com/self" /></head></html>',
-        "self canon example.com self"))
+        "self canon example.com self",
+        fields={"title": "self canon", "path_parts": "self"}))
     # 13: text/plain MIME row — no head fields, URL-derived text only
     rows.append(_edge(
         "https://plain.example.com/readme",
         "Just a plain text file. No markup here at all.",
-        "example.com readme"))
+        "example.com readme",
+        fields={"path_parts": "readme"}))
     # 14: text/xml row — the tokenizer still sees the <title> element,
     # exactly as Go's html.Tokenizer does on XML input
     rows.append(_edge(
         "https://xml.example.com/feed",
         '<?xml version="1.0"?><rss><channel><title>feed</title></channel></rss>',
-        "feed example.com feed"))
+        "feed example.com feed",
+        fields={"title": "feed", "path_parts": "feed"}))
     # 15: cp1252-declared page with accented chars
     rows.append(_edge(
         "https://latin.example.com/cafe",
         '<html><head><meta charset="iso-8859-1"><title>caf\xe9 men\xfa</title></head></html>',
-        "café menú example.com cafe", charset="cp1252"))
+        "café menú example.com cafe", charset="cp1252",
+        fields={"title": "café menú", "path_parts": "cafe"}))
     # 16: shift_jis-declared page
     rows.append(_edge(
         "https://jp.example.co.jp/tokyo",
         '<html lang="ja"><head><meta charset="shift_jis"><title>東京 ページ</title></head></html>',
-        "東京 ページ example.co.jp tokyo", lang="ja", charset="shift_jis"))
+        "東京 ページ example.co.jp tokyo", lang="ja", charset="shift_jis",
+        fields={"title": "東京 ページ", "path_parts": "tokyo"}))
     # 17: es language page (TestSetContent "language and policy" shape, indexable)
     rows.append(_edge(
         "https://es.example.com/hola",
         '<html lang="es"><head><meta charset="utf-8"><title>hola mundo</title></head></html>',
-        "hola mundo example.com hola", lang="es"))
+        "hola mundo example.com hola", lang="es",
+        fields={"title": "hola mundo", "path_parts": "hola"}))
     # 18: pt-BR page with the reference's pt-BR test query terms
     rows.append(_edge(
         "https://br.example.com.br/musica/jimi-hendrix",
         '<html lang="pt-BR"><head><meta charset="utf-8"><title>jimi hendrix guitarra</title>'
         '<meta name="description" content="a lenda jimi hendrix"></head></html>',
         "jimi hendrix guitarra a lenda jimi hendrix example.com.br musica jimi hendrix",
-        lang="pt-BR"))
+        lang="pt-BR",
+        fields={"title": "jimi hendrix guitarra",
+                "description": "a lenda jimi hendrix",
+                "path_parts": "musica jimi hendrix"}))
     # 19: en page with the reference's en test query terms
     rows.append(_edge(
         "https://music.example.com/bob-dylan.html",
@@ -307,13 +358,20 @@ def _mk_edges():
         '<meta name="keywords" content="bob, dylan, folk, music">'
         '<meta name="description" content="the complete bob dylan discography"></head></html>',
         "bob dylan songs bob dylan folk music "
-        "the complete bob dylan discography example.com bob dylan"))
+        "the complete bob dylan discography example.com bob dylan",
+        fields={"title": "bob dylan songs",
+                "keywords": "bob dylan folk music",
+                "description": "the complete bob dylan discography",
+                "path_parts": "bob dylan"}))
     # 20: whitespace-run collapse in every field
     rows.append(_edge(
         "https://ws.example.com/spaces",
         '<html><head><meta charset="utf-8"><title>  lots\t\tof\n   space  </title>'
         '<meta name="description" content=" padded   description  "></head></html>',
-        "lots of space padded description example.com spaces"))
+        "lots of space padded description example.com spaces",
+        fields={"title": "lots of space",
+                "description": "padded description",
+                "path_parts": "spaces"}))
     return rows
 
 

@@ -46,17 +46,37 @@ def load_naughty(path: str) -> frozenset[str]:
 
 
 #: env var naming a full blocklist file (the reference ships 2,575
-#: terms in suggest/naughty.txt); when unset/missing, the built-in
-#: subset is used.
+#: terms in suggest/naughty.txt); when unset/missing, well-known
+#: install locations are probed, then the built-in subset is used.
 NAUGHTY_TXT_ENV = "JIVESEARCH_NAUGHTY_TXT"
+
+#: probed when the env is unset (suggest/suggest.go:32 loads the same
+#: one-term-per-line shape)
+NAUGHTY_TXT_PATHS = (
+    "data/naughty.txt",
+    "/root/reference/suggest/naughty.txt",
+)
+
+
+def naughty_path() -> str | None:
+    """Path of the full blocklist: the env wins, else the first
+    well-known location that exists, else None (→ built-in subset)."""
+    import os
+    p = os.environ.get(NAUGHTY_TXT_ENV, "")
+    if p:
+        return p if os.path.exists(p) else None
+    for cand in NAUGHTY_TXT_PATHS:
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def default_naughty() -> frozenset[str]:
     """The full wired blocklist when available, else the built-in
-    subset — deployments point NAUGHTY_TXT_ENV at their list."""
-    import os
-    p = os.environ.get(NAUGHTY_TXT_ENV, "")
-    return load_naughty(p) if p and os.path.exists(p) else NAUGHTY
+    subset — deployments point NAUGHTY_TXT_ENV at their list (or drop
+    one at a probed location)."""
+    p = naughty_path()
+    return load_naughty(p) if p else NAUGHTY
 
 
 def is_naughty(q: str, naughty: frozenset[str] = NAUGHTY) -> bool:

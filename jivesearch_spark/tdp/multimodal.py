@@ -47,6 +47,46 @@ def sniff_kind(data: bytes | None) -> str:
     return "application/octet-stream"
 
 
+def available_decoder() -> str:
+    """Import probe for a real image decoder: 'pil' when Pillow is
+    importable, else 'stub'. Run inside the Arrow UDF too (executors
+    probe their own environment), so the component upgrades itself the
+    day the deployment gains the library — no code change."""
+    try:
+        import PIL.Image  # noqa: F401
+        return "pil"
+    except ImportError:
+        return "stub"
+
+
+def _pil_decode(data: bytes, feature_dim: int = 8):
+    """Real image decode via Pillow (the reference's scorer opens and
+    resizes the image the same way before classifying —
+    image/cmd/images.go:153-188). Non-image kinds and undecodable
+    payloads fall back to the stub/skip semantics. nsfw_score stays
+    digest-derived: the reference's NSFW net isn't in this container,
+    and a constant would erase the score distribution downstream
+    operators (safe_filter) are tested against."""
+    kind = sniff_kind(data)
+    if not kind.startswith("image/"):
+        return _stub_decode(data, feature_dim)
+    import io
+
+    from PIL import Image
+    try:
+        img = Image.open(io.BytesIO(data))
+        img.load()
+    except Exception:
+        return kind, None
+    w, h = img.size
+    n_frames = int(getattr(img, "n_frames", 1))
+    thumb = img.convert("L").resize((feature_dim, 1))
+    feat = [round(p / 255.0, 6) for p in list(thumb.getdata())[:feature_dim]]
+    hx = hashlib.sha256(data.hex().encode("ascii")).digest()
+    nsfw = round(hx[11] / 255.0, 2)
+    return kind, (w, h, n_frames, feat, nsfw)
+
+
 def _stub_decode(data: bytes, feature_dim: int = 8):
     """STUB decode: deterministic pseudo-decode from a digest.
 
@@ -74,8 +114,14 @@ def _stub_decode(data: bytes, feature_dim: int = 8):
 
 
 def decode_media(media: DataFrame, id_col: str = "media_id",
-                 payload_col: str = "payload", feature_dim: int = 8) -> DataFrame:
+                 payload_col: str = "payload", feature_dim: int = 8,
+                 decoder: str = "auto") -> DataFrame:
     """binary payloads → typed media rows, Arrow-batched (mapInPandas).
+
+    ``decoder``: 'auto' probes for Pillow inside the UDF (executors
+    probe their own environment) and uses the real decode when
+    present, the deterministic stub otherwise; 'stub' / 'pil' force a
+    path ('stub' is what the digest-pinned driver oracle replays).
 
     Narrow map: no shuffle; payload bytes never leave the executor
     that scanned them. Batch size is bounded by
@@ -87,11 +133,13 @@ def decode_media(media: DataFrame, id_col: str = "media_id",
     ensure_shipped(media.sparkSession)
 
     def _decode(batch_iter):
+        mode = available_decoder() if decoder == "auto" else decoder
+        decode_one = _pil_decode if mode == "pil" else _stub_decode
         for pdf in batch_iter:
             rows = []
             for mid, data in zip(pdf["id"], pdf["payload"]):
                 data = bytes(data) if data is not None else b""
-                kind, dec = _stub_decode(data, feature_dim)
+                kind, dec = decode_one(data, feature_dim)
                 if dec is None:
                     rows.append((mid, kind, None, None, None, None, None, False))
                 else:

@@ -229,8 +229,16 @@ def test_env_wiring_and_autocomplete_routing(monkeypatch):
     assert r["kind"] == "completions"
     assert r["suggestions"][0] == {"query": "hello world", "weight": 3}
 
-    # env unset → builtins
+    # env unset → well-known locations are probed; this sandbox
+    # carries the reference snapshot, so the full corpora load with NO
+    # wiring at all (the out-of-the-box deployment experience)
     monkeypatch.delenv(B.BANGS_TOML_ENV)
     monkeypatch.delenv(S.NAUGHTY_TXT_ENV)
+    assert len(B.default_corpus()) == 7438
+    assert len(S.default_naughty()) > 2500
+
+    # nothing probed anywhere → builtins
+    monkeypatch.setattr(B, "BANGS_TOML_PATHS", ())
+    monkeypatch.setattr(S, "NAUGHTY_TXT_PATHS", ())
     assert B.default_corpus() == list(B.BUILTIN)
     assert S.default_naughty() == S.NAUGHTY

@@ -258,6 +258,39 @@ def test_multimodal_stub_plumbing(spark):
     assert safe.count() == 4
 
 
+def _minimal_png(w: int, h: int) -> bytes:
+    """A valid 8-bit grayscale PNG built by hand (zlib is stdlib), so
+    the real-decoder branch is testable without Pillow present."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        c = tag + body
+        return struct.pack(">I", len(body)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(range(x, x + w)) for x in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+@pytest.mark.spark
+def test_multimodal_decoder_probe(spark):
+    """decoder='auto' import-probes Pillow per executor: with the
+    library absent it MUST equal the stub path bit-for-bit; with it
+    present, a hand-built PNG must decode to its true dimensions."""
+    png = _minimal_png(20, 7)
+    media = spark.createDataFrame([(1, png)], "media_id long, payload binary")
+    auto = multimodal.decode_media(media, decoder="auto").collect()[0]
+    stub = multimodal.decode_media(media, decoder="stub").collect()[0]
+    assert auto.kind == stub.kind == "image/png"
+    if multimodal.available_decoder() == "pil":
+        assert (auto.width, auto.height) == (20, 7) and auto.ok
+    else:
+        assert auto == stub
+
+
 @pytest.mark.spark
 def test_multimodal_resize_and_frame_sample(spark):
     rows = [

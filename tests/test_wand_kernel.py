@@ -151,6 +151,51 @@ def test_lazy_kernel_flat_bounds_bail_to_dense():
     assert t_lazy <= 1.25 * t_brute, (t_lazy, t_brute)
 
 
+def test_lazy_kernel_flat_bailout_is_upfront_for_two_terms():
+    """For ≤2-term queries whose block bounds are flat (no block's own
+    ub below its term max ⇒ nothing is ever retirable), the kernel
+    must go dense BEFORE any wave bookkeeping: the persistent segment
+    store stays untouched (zero lazy decodes — the decode-all happens
+    once, memoized on tb as 'dense'). A skewed 2-term query must still
+    take the lazy path and skip blocks."""
+    from jivesearch_spark.query import _term_block_meta, _topk_blockmax_lazy
+
+    rng = np.random.default_rng(5)
+    n_docs = 100_000
+
+    # flat: uniform tf=1 everywhere → every block bound ≈ its term max
+    spec = {"a": n_docs // 4, "b": n_docs // 5}
+    idf = {t: float(bm25.idf(n_docs, d)) for t, d in spec.items()}
+    rows = []
+    for term, df_ in spec.items():
+        docids = np.sort(rng.choice(n_docs, size=df_, replace=False)).astype(np.int64)
+        tfs = np.ones(df_, dtype=np.int64)
+        dl = np.full(df_, 90, dtype=np.int64)
+        for blk in codec.encode_blocks(docids, tfs, dl, idf[term], K1, B, AVGDL):
+            blk["term"] = term
+            blk["shard"] = 0
+            rows.append(blk)
+    pdf = pd.DataFrame(rows)
+    tb = _term_block_meta(pdf, idf)
+    store, st = {}, {}
+    d1, s1 = _topk_blockmax_lazy(tb, 10, 0, K1, B, AVGDL, stats=st, store=store)
+    assert st.get("dense_bailout"), st
+    assert store == {}, "upfront bailout must precede any lazy decode"
+    d0, s0 = _score_shard_np(pdf, idf, K1, B, AVGDL, 10, 0, False)
+    assert np.array_equal(d1, d0) and np.allclose(s1, s0)
+
+    # skewed: zipf tfs give θ separation → lazy path, blocks skipped
+    spec = {"head": n_docs // 2, "rare": 200}
+    idf = {t: float(bm25.idf(n_docs, d)) for t, d in spec.items()}
+    pdf = _make_pdf(rng, n_docs, spec, idf, zipf=True)
+    tb = _term_block_meta(pdf, idf)
+    store, st = {}, {}
+    _topk_blockmax_lazy(tb, 10, 0, K1, B, AVGDL, stats=st, store=store)
+    assert not st.get("dense_bailout"), st
+    assert st["blocks_decoded"] < st["blocks_total"], st
+    assert store  # lazy decodes landed in the persistent store
+
+
 @pytest.mark.parametrize("offset_k", [(0, 10), (10, 10), (95, 10)])
 def test_lazy_kernel_paging_window(offset_k):
     """top-(offset+k) from the lazy kernel slices to the same page as
