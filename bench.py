@@ -459,6 +459,17 @@ def main():
     # the reference's ES-lookup analog). Rank identity with the Spark
     # path is a pytest gate (tests/test_serve.py).
     from jivesearch_spark.serve import LocalIndex
+    # cold-pass skip evidence: fraction of posting blocks the lazy
+    # kernel actually decoded across the query set, fresh caches
+    cold_li = LocalIndex(f"{WORK}/idx_high")
+    dec = tot = 0
+    for _name, q in BENCH_QUERIES:
+        cold_li.topk(q, 10, use_wand=True)
+        st = cold_li.last_stats.get(q, {})
+        dec += st.get("blocks_decoded", 0)
+        tot += st.get("blocks_total", 0)
+    results["serve_cold_blocks_decoded_pct"] = round(100 * dec / max(tot, 1), 1)
+
     local = LocalIndex(f"{WORK}/idx_high")
     local.topk("warm up", 10)  # untimed: open datasets, prime caches
     serve_lat = []

@@ -221,6 +221,37 @@ def _term_block_meta(pdf, idf: dict) -> dict:
 _WAND_SLACK = 1e-9
 
 
+def _range_max_table(vals: np.ndarray) -> list:
+    """Sparse table for O(1) range-max queries: levels[k][i] =
+    max(vals[i : i + 2^k]). Built per wave over a term's live block
+    bounds (O(B log B), all numpy)."""
+    levels = [vals]
+    k = 1
+    while (1 << k) <= vals.size:
+        prev = levels[-1]
+        half = 1 << (k - 1)
+        levels.append(np.maximum(prev[:-half], prev[half:]))
+        k += 1
+    return levels
+
+
+def _range_max(levels: list, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized max(vals[lo:hi]) per element pair; 0 where empty
+    (a non-negative-score context: BM25 contributions are > 0)."""
+    out = np.zeros(lo.size)
+    n = hi - lo
+    nz = n > 0
+    if not nz.any():
+        return out
+    k = np.zeros(lo.size, dtype=np.int64)
+    k[nz] = np.floor(np.log2(n[nz])).astype(np.int64)
+    for kk in np.unique(k[nz]):
+        m = nz & (k == kk)
+        lev = levels[kk]
+        out[m] = np.maximum(lev[lo[m]], lev[hi[m] - (1 << kk)])
+    return out
+
+
 def _dense_arrays_from_tb(tb: dict, k1: float, b: float, avgdl: float,
                           keys=None) -> dict:
     """Decode EVERY block of the given tb entries into brute-kernel
@@ -317,15 +348,18 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     else:
         grp_of = msm_group
     if dense_fn is None:
-        dense_fn = lambda dense: _topk_from_terms(dense, k, msm_req, False)  # noqa: E731
+        # flat-regime finisher: impact-ordered TA (early termination by
+        # per-doc score spread, which survives the tf-saturation that
+        # defeats block-level bounds); memoizes impact permutations on
+        # the tb entries so a serving tier's warm queries skip the sort
+        dense_fn = lambda dense: _topk_impact_ordered(dense, k, msm_req,  # noqa: E731
+                                                      meta=tb)
     nt = len(terms)
+    n_keys = len(keys_all)
     dfs_of = np.array([int(tb[t]["nd"].sum()) for t in terms])
     blocks_of = np.array([tb[t]["ub"].size for t in terms])
+    offsets = np.concatenate([[0], np.cumsum(blocks_of)])
     blocks_all = int(blocks_of.sum()) + sum(tb[t]["ub"].size for t in extras)
-    # probe-only keys never exhaust, so they contribute their max ub
-    # to every unscored doc's bound for the whole sweep
-    extra_mu = float(sum(float(tb[t]["ub"].max()) for t in extras
-                         if tb[t]["ub"].size))
 
     # ---- flat block table across candidate-generating terms ----
     b_term = np.repeat(np.arange(nt), blocks_of)
@@ -335,6 +369,35 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     n_left = blocks_of.copy()                      # unvisited blocks per term
     exhausted = np.zeros(nt, dtype=bool)
 
+    # docid-ALIGNED bound machinery (true block-max WAND, Ding & Suel
+    # §4: the other-term contribution to a block's bound is the max ub
+    # over that term's blocks OVERLAPPING the block's docid range, not
+    # the term's global max — the difference between skipping nothing
+    # and skipping almost everything when two head terms rarely
+    # co-occur at high tf). ub_live zeroes a block once visited: every
+    # doc of a visited block is scored, so an unscored doc's covering
+    # block in any key is necessarily unvisited.
+    firsts_k = [np.asarray(tb[t]["first"], dtype=np.int64) for t in keys_all]
+    lasts_k = [np.asarray(tb[t]["last"], dtype=np.int64) for t in keys_all]
+    ub_live = [np.asarray(tb[t]["ub"], dtype=np.float64).copy()
+               for t in keys_all]
+
+    def compute_prio():
+        prio = b_ub.copy()
+        tables = [_range_max_table(ub_live[kj]) if ub_live[kj].size else None
+                  for kj in range(n_keys)]
+        for ti in range(nt):
+            fa, la = firsts_k[ti], lasts_k[ti]
+            add = np.zeros(fa.size)
+            for kj in range(n_keys):
+                if kj == ti or tables[kj] is None:
+                    continue
+                lo = np.searchsorted(lasts_k[kj], fa, side="left")
+                hi = np.searchsorted(firsts_k[kj], la, side="right")
+                add += _range_max(tables[kj], lo, hi)
+            prio[offsets[ti]:offsets[ti + 1]] += add
+        return prio
+
     def go_dense():
         dense = _dense_arrays_from_tb(tb, k1, b, avgdl, keys=keys_all)
         if stats is not None:
@@ -343,18 +406,15 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             stats["dense_bailout"] = True
         return dense_fn(dense)
 
-    # upfront flat-bound bailout (≤2 terms): θ can never exceed the
-    # sum of per-key max bounds, so a block is retirable ONLY if its
-    # own ub sits strictly below its term's max — when (almost) none
-    # does, the sweep provably cannot skip, and the lazy machinery
-    # would only add bookkeeping + probe-triggered scatter decodes on
-    # top of the dense pass it ends in anyway (head-head queries over
-    # uniform synthetic corpora are exactly this shape)
+    # upfront strictly-flat bailout (≤2 terms): when EVERY block bound
+    # is identical (uniform corpora — same tf/dl everywhere), any θ
+    # either retires all blocks or none, so the sweep provably cannot
+    # separate; go dense before any wave bookkeeping. Spread corpora
+    # proceed lazily — the in-loop check (with a REAL θ and aligned
+    # bounds) handles the merely-flat-ish regime after one cheap wave.
     if nt <= 2:
-        own_max = np.concatenate([
-            np.full(tb[t]["ub"].size, float(tb[t]["ub"].max())) for t in terms])
-        retirable = b_ub < own_max - _WAND_SLACK
-        if retirable.mean() < 0.25:
+        prio0 = compute_prio()
+        if prio0.max() - prio0.min() <= _WAND_SLACK:
             return go_dense()
 
     # ---- lazy decoded-block store (caller-persistent when given) ----
@@ -424,13 +484,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             alive.discard(None)
             if len(alive) < msm_req:
                 break   # docs outside every exhausted list can't reach msm
-        # per-term bound contribution: max ub over UNVISITED blocks —
-        # a visited block's docs are all scored, so an unscored doc's
-        # covering block in any term is necessarily unvisited
-        mu = np.zeros(nt)
-        for ti in np.unique(b_term[remaining]):
-            mu[ti] = b_ub[remaining & (b_term == ti)].max()
-        prio = b_ub + (mu.sum() + extra_mu - mu[b_term])
+        prio = compute_prio()
         live = remaining & (prio >= theta - _WAND_SLACK)
         if not live.any():
             break
@@ -474,6 +528,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             ensure(ti, ords)
             t = terms[ti]
             cands.extend(store[t]["seg"][int(o)][0] for o in ords)
+            ub_live[ti][ords] = 0.0   # visited: all docs scored
             n_left[ti] -= ords.size
             if n_left[ti] == 0:
                 exhausted[ti] = True
@@ -524,6 +579,130 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
         cand, total = cand[okm], total[okm]
     if cand.size == 0:
         return zero
+    kloc = min(k, cand.size)
+    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
+    return cand[idx].astype(np.int64), total[idx]
+
+
+#: stop margin for the impact-ordered sweep: with θ − T > 2·0.5e-9,
+#: round(θ, 9) is STRICTLY greater than round(T, 9), so no unseen doc
+#: can displace a result even on a rounded-score tie + docid tie-break.
+_TA_SLACK = 2e-9
+
+
+def _topk_impact_ordered(dense: dict, k: int, msm_req: int,
+                         meta: dict | None = None):
+    """Exact top-k over fully-decoded term arrays via Fagin's
+    threshold algorithm (TA): each term's postings are visited in
+    DESCENDING score order (impact order), candidates are scored
+    exactly against every term, and the sweep stops once the k-th
+    best exact score provably beats the bound T = Σ per-term next
+    unseen score — the regime block-max skipping cannot help with
+    (BM25 tf-saturation makes every block bound ≈ the term max for
+    head terms, but per-DOC impacts still spread via dl
+    normalization). Rank-identical to the brute kernel: unseen docs
+    are excluded only when round(θ,9) > round(T,9) is guaranteed
+    (_TA_SLACK). Falls back to the brute single pass if 25% of all
+    postings are consumed without separation (degenerate uniform
+    corpora, where nothing separates anything).
+
+    ``meta``: optional {term: dict} whose entries memoize the impact
+    permutation across calls (the serving tier passes the cached tb
+    entries, so warm queries skip the argsort too).
+    """
+    names = sorted(dense)
+    if not names:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    orders = {}
+    for t in names:
+        m = meta.get(t) if meta else None
+        order = m.get("impact_order") if m is not None else None
+        if order is None:
+            order = np.argsort(-dense[t]["scores"], kind="stable")
+            if m is not None:
+                m["impact_order"] = order
+        orders[t] = order
+
+    def exact_scores(cand):
+        total = np.zeros(cand.size)
+        matched = np.zeros(cand.size, dtype=np.int32)
+        for t in names:   # fixed accumulation order (determinism)
+            td = dense[t]
+            pos = np.searchsorted(td["docids"], cand)
+            pos_c = np.minimum(pos, td["docids"].size - 1)
+            hit = td["docids"][pos_c] == cand
+            total += np.where(hit, td["scores"][pos_c], 0.0)
+            matched += hit.astype(np.int32)
+        return total, matched
+
+    sizes = {t: dense[t]["docids"].size for t in names}
+    total_postings = sum(sizes.values())
+    pos = {t: 0 for t in names}
+    got_d, got_s, got_m = [], [], []
+    scored = np.empty(0, dtype=np.int64)
+    n_ok, theta, chunk, consumed = 0, -np.inf, 1024, 0
+    while True:
+        heads = [dense[t]["scores"][orders[t][pos[t]]]
+                 for t in names if pos[t] < sizes[t]]
+        if not heads:
+            break
+        T = float(np.sum(heads))
+        if n_ok >= k and theta - T > _TA_SLACK:
+            break
+        if consumed > 0.25 * total_postings:
+            # no separation — finish brute over everything unseen
+            rest = np.unique(np.concatenate(
+                [dense[t]["docids"] for t in names]))
+            if scored.size:
+                p = np.searchsorted(scored, rest)
+                pc = np.minimum(p, scored.size - 1)
+                rest = rest[scored[pc] != rest]
+            if rest.size:
+                tot, mat = exact_scores(rest)
+                got_d.append(rest)
+                got_s.append(tot)
+                got_m.append(mat)
+            break
+        cands = []
+        for t in names:
+            lo = pos[t]
+            hi = min(lo + chunk, sizes[t])
+            if hi > lo:
+                cands.append(dense[t]["docids"][orders[t][lo:hi]])
+                consumed += hi - lo
+                pos[t] = hi
+        cand = np.unique(np.concatenate(cands))
+        if scored.size:
+            p = np.searchsorted(scored, cand)
+            pc = np.minimum(p, scored.size - 1)
+            cand = cand[scored[pc] != cand]
+        chunk = min(chunk * 2, 65536)
+        if cand.size == 0:
+            continue
+        tot, mat = exact_scores(cand)
+        got_d.append(cand)
+        got_s.append(tot)
+        got_m.append(mat)
+        scored = np.union1d(scored, cand)
+        n_ok += int((mat >= msm_req).sum()) if msm_req else cand.size
+        if n_ok >= k:
+            alls = np.concatenate(got_s)
+            if msm_req:
+                allm = np.concatenate(got_m)
+                pool = alls[allm >= msm_req]
+            else:
+                pool = alls
+            theta = np.partition(pool, -k)[-k]
+
+    if not got_d:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    cand = np.concatenate(got_d)
+    total = np.concatenate(got_s)
+    if msm_req:
+        okm = np.concatenate(got_m) >= msm_req
+        cand, total = cand[okm], total[okm]
+    if cand.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0)
     kloc = min(k, cand.size)
     idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
     return cand[idx].astype(np.int64), total[idx]
