@@ -195,25 +195,68 @@ FRAME_SCHEMA = ("media_id long, frame_idx int, ts_ms int, "
                 "frame binary, ok boolean")
 
 
+def available_frame_decoder() -> str:
+    """Import probe for a real container demuxer: 'av' when PyAV is
+    importable, else 'stub' (same self-upgrading pattern as
+    available_decoder)."""
+    try:
+        import av  # noqa: F401
+        return "av"
+    except ImportError:
+        return "stub"
+
+
+def _av_frame_count(data: bytes) -> int | None:
+    """Real frame count via PyAV (reference analog: the image service
+    probes media before scoring, image/cmd/images.go:153-171).
+    Returns None on demux failure → caller falls back to the stub."""
+    import io
+
+    import av
+    try:
+        with av.open(io.BytesIO(data)) as container:
+            stream = next((s for s in container.streams if s.type == "video"),
+                          None)
+            if stream is None:
+                return None
+            n = stream.frames
+            if not n:
+                n = sum(1 for _ in container.decode(stream))
+            return max(int(n), 1)
+    except Exception:
+        return None
+
+
 def sample_frames(media: DataFrame, every_n: int = 8,
                   max_frames: int | None = None, id_col: str = "media_id",
-                  payload_col: str = "payload") -> DataFrame:
+                  payload_col: str = "payload",
+                  decoder: str = "stub") -> DataFrame:
     """Frame sampling (UDTF-shaped: one input row fans out to one row
-    per sampled frame). Frame count comes from the stub decode
-    (images = 1 frame, audio/video = 1 + digest-derived count); each
-    sampled frame is a deterministic 32-byte stub (real impl: av /
-    ffmpeg seek + decode). ts_ms assumes 25 fps. mapInPandas keeps the
-    fan-out Arrow-batched; cap the blow-up with ``max_frames``."""
+    per sampled frame). With ``decoder='stub'`` (the oracle-pinned
+    default) the frame count comes from the stub decode (images = 1
+    frame, audio/video = 1 + digest-derived count) and each sampled
+    frame is a deterministic 32-byte stub; ``decoder='auto'``
+    import-probes PyAV per executor and uses real demuxed frame counts
+    when the library exists (frame bytes stay stubbed — decoding
+    pixels is the model-input stage's job). ts_ms assumes 25 fps.
+    mapInPandas keeps the fan-out Arrow-batched; cap the blow-up with
+    ``max_frames``."""
     import pandas as pd
 
     ensure_shipped(media.sparkSession)
 
     def _sample(batch_iter):
+        mode = available_frame_decoder() if decoder == "auto" else decoder
         for pdf in batch_iter:
             rows = []
             for mid, data in zip(pdf["id"], pdf["payload"]):
                 data = bytes(data) if data is not None else b""
                 kind, dec = _stub_decode(data)
+                if (mode == "av" and dec is not None
+                        and not kind.startswith("image/")):
+                    n_real = _av_frame_count(data)
+                    if n_real is not None:
+                        dec = (dec[0], dec[1], n_real, dec[3], dec[4])
                 if dec is None:
                     rows.append((mid, None, None, None, False))
                     continue
