@@ -295,15 +295,18 @@ def main():
     # of all pairs. min-over-reps is published separately as
     # corroboration, never as the gate. Raw pairs + ceilings are
     # always published so the gate is auditable. Up to BENCH_MAX_PAIRS
-    # (default 5) pairs run, stopping early once ≥ 2 clean pairs reach
-    # a 0.8 median or the BENCH_PAIRS_BUDGET (default 1500 s) runs out
+    # (default 7) pairs run, stopping early once ≥ 2 clean pairs reach
+    # a 0.8 median or the BENCH_PAIRS_BUDGET (default 2100 s) runs out
     # after 3 pairs; each pair (including the first) first waits up to
-    # BENCH_QUIET_WAIT for a quiet window.
-    max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "5"))
+    # BENCH_QUIET_WAIT for a quiet window. 7 pairs x ~4 min + waits
+    # bounds the phase at ~35 min worst case — a storm that never
+    # yields a clean window otherwise leaves the gate on the weakest
+    # fallback basis for the whole round.
+    max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "7"))
     min_pairs = max(2, BUILD_REPS - 1)
     CLEAN_CEIL = float(os.environ.get("BENCH_CLEAN_CEIL", "0.88"))
     quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "240"))
-    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "1500"))
+    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "2100"))
     t_pairs0 = time.time()
     lows, highs, ratios, ceils, norms = [], [], [], [], []
 
