@@ -153,6 +153,57 @@ def ann_topk_lsh(emb: DataFrame, query_vec: list[float], k: int = 10,
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
+def cosine_near_dup_lsh(emb: DataFrame, threshold: float = 0.9,
+                        n_bits: int = 10, n_tables: int = 8, seed: int = 42,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        max_bucket_size: int | None = 10_000) -> DataFrame:
+    """Embedding near-dup PAIRS at scale: candidate pairs are generated
+    only inside shared (table, bucket) LSH cells — sub-quadratic, the
+    same banding idea as minhash_lsh_pairs — then verified with the
+    exact cosine, so every emitted pair is true (≥ threshold); only
+    recall is approximate (two near-dups that collide in NO table are
+    missed; n_tables is the recall lever — random-hyperplane collision
+    probability per table is (1 - θ/π)^n_bits, θ = angle).
+
+    ``max_bucket_size`` bounds the quadratic blow-up of degenerate
+    cells (e.g. a zero-vector pile-up or a dense cluster): oversized
+    buckets are dropped from candidate generation, their members still
+    pair through the other tables. Returns (id_a, id_b, cosine),
+    id_a < id_b, exact cosine values.
+    """
+    spark = emb.sparkSession
+    first = emb.select(vec_col).first()
+    if first is None:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
+    dim = len(first[0])
+    buckets = rp_lsh_buckets(emb, dim, n_bits, n_tables, seed,
+                             id_col, vec_col)
+    if max_bucket_size:
+        big = (buckets.groupBy("table", "bucket")
+               .agg(F.count(F.lit(1)).alias("__sz"))
+               .where(F.col("__sz") > max_bucket_size))
+        buckets = buckets.join(F.broadcast(big.select("table", "bucket")),
+                               ["table", "bucket"], "left_anti")
+    cand = (buckets.alias("a").join(
+        buckets.alias("b"),
+        (F.col("a.table") == F.col("b.table"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct())
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"),
+                      _norm(v).alias("nrm"))
+    return (cand
+            .join(base.selectExpr("id AS id_a", "v AS va", "nrm AS na"), "id_a")
+            .join(base.selectExpr("id AS id_b", "v AS vb", "nrm AS nb"), "id_b")
+            .withColumn("cosine", _dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — coarse quantizer + probed lists
 # ---------------------------------------------------------------------------

@@ -202,6 +202,44 @@ def test_ann_lsh_recall_report(spark, emb):
 
 
 @pytest.mark.spark
+def test_cosine_near_dup_lsh_pairs(spark, emb):
+    """The sub-quadratic embedding near-dup path: planted duplicates
+    (and lightly-perturbed copies) MUST pair through shared LSH cells,
+    every emitted pair must be exact-cosine-verified (precision 1 vs
+    the O(n²) comparator), and the degenerate-cell cap must not drop
+    the planted pairs."""
+    rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    rng = np.random.default_rng(1)
+    planted = []
+    for vid in range(1, 11):
+        v = rows[vid]
+        planted.append((100000 + vid, v.astype(np.float32).tolist(), 0))
+        planted.append((200000 + vid,
+                        (v + rng.normal(0, 1e-3, v.shape))
+                        .astype(np.float32).tolist(), 0))
+    emb2 = emb.unionByName(spark.createDataFrame(
+        planted, "vec_id long, embedding array<float>, label int"))
+
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in ann.cosine_near_dup_lsh(
+               emb2, threshold=0.95, n_bits=10, n_tables=16,
+               max_bucket_size=1000).collect()}
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in ann.cosine_pairs(emb2, threshold=0.95).collect()}
+    # precision 1: every emitted pair is a true pair with the exact value
+    for pair, c in got.items():
+        assert pair in exact and abs(c - exact[pair]) < 1e-9, pair
+    # planted exact duplicates are recall-guaranteed (identical vector
+    # ⇒ identical signature in every table)
+    for vid in range(1, 11):
+        assert (vid, 100000 + vid) in got, vid
+    # overall recall vs the exact comparator
+    if exact:
+        assert len(got) / len(exact) >= 0.8, (len(got), len(exact))
+
+
+@pytest.mark.spark
 def test_token_counts_match_duckdb(spark, docs):
     got = {(r.id, r.ws_tokens, r.bpe_tokens, r.chars)
            for r in textstats.token_counts(docs).collect()}
