@@ -446,6 +446,13 @@ def main():
     # ---- query replay on the compressed index (WAND on) ----
     from jivesearch_spark.query import IndexReader, bm25_topk_indexed
     reader = IndexReader(spark, f"{WORK}/idx_high")
+    # Untimed warm-up, symmetric with the serving-tier replay below:
+    # the very first SQL job of a session pays Catalyst/codegen compile
+    # + parquet footer reads (measured ~5 s vs ~0.5 s steady-state for
+    # the same query), which otherwise lands entirely on whichever
+    # query runs first (q_head2). Cold-path evidence is still captured
+    # by serve_cold_blocks_decoded_pct on fresh caches.
+    bm25_topk_indexed(reader, "warm up", 10, use_wand=True).collect()
     all_lat = []
     for name, q in BENCH_QUERIES:
         lats = []
