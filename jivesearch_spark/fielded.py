@@ -437,6 +437,12 @@ class FieldedLocalIndex:
                     w = {t: spec["idf"][t] * spec["boost"] for t in missing}
                     for t, meta in _term_block_meta(pdf, w).items():
                         meta["avgdl"] = spec["avgdl"]
+                        # stored max_score_ub = idf × max tf-norm
+                        # (codec.py:127); this field scores with
+                        # w = idf × boost, so the block bound must be
+                        # boost-scaled too or the lazy kernel retires
+                        # blocks that still hold top-k winners
+                        meta["ub"] = meta["ub"] * spec["boost"]
                         self._meta_cache[(name, t)] = meta
             for t in spec["terms"]:
                 meta = self._meta_cache.get((name, t))
@@ -481,8 +487,12 @@ class FieldedLocalIndex:
         def decoded(key):
             n = self._store.get(key, {}).get("np", 0)
             meta = self._meta_cache.get(key)
-            if meta is not None and meta.get("dense") is not None:
-                n += int(meta["dense"][0].size)
+            if meta is not None:
+                if meta.get("dense") is not None:
+                    n += int(meta["dense"][0].size)
+                # raw compressed table charged at ~1/4 posting-
+                # equivalent (see serve.LocalIndex._evict)
+                n += meta.get("nd_total", 0) // 4
             return n
 
         total = sum(decoded(key) for key in self._meta_cache)

@@ -211,6 +211,10 @@ def _term_block_meta(pdf, idf: dict) -> dict:
             "tfs": g["tfs"].tolist(),
             "dls": g["dls"].tolist(),
             "w": idf[term],
+            # total postings across blocks — the serving tiers charge
+            # the RAW compressed table against their eviction budget
+            # with this (≈2-4 B/posting varint vs 16 B/posting decoded)
+            "nd_total": int(g["n_docs"].sum()),
         }
     return out
 
@@ -330,8 +334,12 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
       generate candidates (the reference's non-qualifying tld
       should-clause) — their blocks are probe-only.
     * ``dense_fn(dense_arrays)``: the brute kernel the flat-regime
-      bailouts delegate to (default ``_topk_from_terms``); fielded
-      passes its own cross-field scorer.
+      bailouts delegate to (default ``_topk_impact_ordered``); fielded
+      passes its own cross-field scorer. REQUIRED whenever
+      ``msm_group``/``no_cand`` are used — the default finisher counts
+      every key toward MSM and generates candidates from every list,
+      so it would silently diverge from the wave path exactly when the
+      data triggers a dense bailout.
     * per-key ``avgdl`` in a tb entry overrides the global (fielded
       sub-indexes each carry their own).
     """
@@ -348,6 +356,11 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     else:
         grp_of = msm_group
     if dense_fn is None:
+        if msm_group is not None or extras:
+            raise ValueError(
+                "msm_group/no_cand require an explicit dense_fn: the "
+                "default impact-ordered finisher counts every key "
+                "toward MSM and generates candidates from every list")
         # flat-regime finisher: impact-ordered TA (early termination by
         # per-doc score spread, which survives the tf-saturation that
         # defeats block-level bounds); memoizes impact permutations on
@@ -382,19 +395,46 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     ub_live = [np.asarray(tb[t]["ub"], dtype=np.float64).copy()
                for t in keys_all]
 
+    # Memoized bound bookkeeping: between waves only the VISITED keys'
+    # ub_live changes (visiting zeroes a block's bound; retirement
+    # leaves it — retired blocks' unscored docs still back other
+    # terms' bounds). So the sparse tables and the per-(ti, kj)
+    # overlap-max arrays are cached and rebuilt only for keys marked
+    # dirty — per-wave bookkeeping is O(keys visited this wave), not
+    # O(all keys × all blocks) (round-3 review finding: the full
+    # rebuild dominated exactly the long sweeps skipping is for).
+    _tables = [None] * n_keys
+    _dirty = [True] * n_keys
+    _lohi: dict = {}
+    _adds = [[None] * n_keys for _ in range(nt)]
+
     def compute_prio():
+        changed = {kj for kj in range(n_keys) if _dirty[kj]}
+        for kj in changed:
+            _tables[kj] = (_range_max_table(ub_live[kj])
+                           if ub_live[kj].size else None)
+            _dirty[kj] = False
         prio = b_ub.copy()
-        tables = [_range_max_table(ub_live[kj]) if ub_live[kj].size else None
-                  for kj in range(n_keys)]
         for ti in range(nt):
             fa, la = firsts_k[ti], lasts_k[ti]
             add = np.zeros(fa.size)
             for kj in range(n_keys):
-                if kj == ti or tables[kj] is None:
+                if kj == ti:
                     continue
-                lo = np.searchsorted(lasts_k[kj], fa, side="left")
-                hi = np.searchsorted(firsts_k[kj], la, side="right")
-                add += _range_max(tables[kj], lo, hi)
+                if _adds[ti][kj] is None or kj in changed:
+                    if _tables[kj] is None:
+                        _adds[ti][kj] = None   # permanently-empty key
+                    else:
+                        lh = _lohi.get((ti, kj))
+                        if lh is None:   # block ranges are static
+                            lo = np.searchsorted(lasts_k[kj], fa,
+                                                 side="left")
+                            hi = np.searchsorted(firsts_k[kj], la,
+                                                 side="right")
+                            lh = _lohi[(ti, kj)] = (lo, hi)
+                        _adds[ti][kj] = _range_max(_tables[kj], *lh)
+                if _adds[ti][kj] is not None:
+                    add += _adds[ti][kj]
             prio[offsets[ti]:offsets[ti + 1]] += add
         return prio
 
@@ -529,6 +569,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             t = terms[ti]
             cands.extend(store[t]["seg"][int(o)][0] for o in ords)
             ub_live[ti][ords] = 0.0   # visited: all docs scored
+            _dirty[ti] = True         # bound tables stale for this key
             n_left[ti] -= ords.size
             if n_left[ti] == 0:
                 exhausted[ti] = True

@@ -187,8 +187,15 @@ class LocalIndex:
         def decoded(t):
             n = self._store.get(t, {}).get("np", 0)
             meta = self._meta_cache.get(t)
-            if meta is not None and meta.get("dense") is not None:
-                n += int(meta["dense"][0].size)
+            if meta is not None:
+                if meta.get("dense") is not None:
+                    n += int(meta["dense"][0].size)
+                # raw compressed block table: charge ~1/4
+                # posting-equivalent per posting (varint bytes vs 16 B
+                # decoded) — otherwise a skip-heavy head term parks its
+                # FULL compressed list in _meta_cache at zero cost and
+                # a long-running tier grows without bound
+                n += meta.get("nd_total", 0) // 4
             return n
 
         total = sum(decoded(t) for t in self._meta_cache)

@@ -172,6 +172,10 @@ def cosine_near_dup_lsh(emb: DataFrame, threshold: float = 0.9,
     id_a < id_b, exact cosine values.
     """
     spark = emb.sparkSession
+    # dim from the first NON-NULL vector (a nullable embedding column's
+    # first stored row may be NULL — cosine_topk tolerates those, the
+    # pair path must too); NULL-vector rows can't near-dup anything
+    emb = emb.where(F.col(vec_col).isNotNull())
     first = emb.select(vec_col).first()
     if first is None:
         return spark.createDataFrame(

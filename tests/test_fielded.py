@@ -115,3 +115,36 @@ def test_fielded_empty_query(spark, roots):
     reader = FieldedReader(spark, roots[None])
     assert bm25_fielded_indexed(reader, "", 10).count() == 0
     assert bm25_fielded_indexed(reader, "zzzznotaterm", 10).count() == 0
+
+
+@pytest.mark.spark
+def test_fielded_serving_bounds_carry_field_boost(roots):
+    """The lazy kernel retires blocks by comparing bounds against θ
+    computed from boost-scaled scores (w = idf × boost), so the cached
+    block bounds must be the stored max_score_ub (idf × max tf-norm,
+    codec.py:127) scaled by the SAME boost — an unboosted bound
+    under-states boosted fields 1.5-3× and silently drops top-k
+    winners (regression: test_wand_kernel.py
+    ::test_lazy_kernel_boosted_weights_need_boosted_bounds)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    idx = FieldedLocalIndex(roots[None])
+    idx.topk("bob dylan guitar", k=10, use_wand=True)
+    assert idx._meta_cache, "query should have populated the tb cache"
+    checked = 0
+    for (field, term), meta in idx._meta_cache.items():
+        # tld key scores with boost 1.0 (fielded.py _query_plan)
+        boost = idx.fields[field]["boost"] if field in idx.fields else 1.0
+        dset = idx._post[field]
+        if dset is None:
+            continue
+        pdf = dset.to_table(
+            filter=pads.field("term") == term,
+            columns=["shard", "block_id", "max_score_ub"]).to_pandas()
+        stored = pdf.sort_values(["shard", "block_id"],
+                                 kind="mergesort")["max_score_ub"].values
+        assert np.allclose(np.sort(meta["ub"]), np.sort(stored * boost),
+                           rtol=1e-12), (field, term)
+        checked += 1
+    assert checked >= 2

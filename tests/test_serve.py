@@ -95,3 +95,26 @@ def test_serve_latency_budget(built):
     per_query = (time.time() - t0) / len(QUERIES)
     # reference handler budget is 3 s; serving must be orders under it
     assert per_query < 0.5, per_query
+
+
+def test_evict_bounds_raw_block_tables(built):
+    """Eviction must charge the RAW compressed block tables, not only
+    decoded postings: a skip-heavy head term decodes almost nothing
+    yet parks its full compressed list in _meta_cache — with a
+    decoded-only budget a long-running tier accumulates raw bytes
+    without bound (review finding, round 3)."""
+    idx = LocalIndex(built)
+    idx.term_cache_max_postings = 50  # tiny: force eviction every query
+    qs = [q for q in QUERIES if q]
+    want = {q: idx.topk(q, 10) for q in qs}
+    for q in qs * 3:
+        idx.topk(q, 10)
+        raw = sum(m.get("nd_total", 0) for m in idx._meta_cache.values())
+        # budget + one in-flight query's worth is the ceiling: _evict
+        # runs after scoring and must keep at least one entry
+        assert len(idx._meta_cache) <= 4, len(idx._meta_cache)
+        assert raw <= 4 * 50 + max(m.get("nd_total", 0)
+                                   for m in idx._meta_cache.values() or [{}])
+    # correctness survives eviction: evicted terms re-read and re-score
+    for q in qs:
+        assert idx.topk(q, 10) == want[q], q

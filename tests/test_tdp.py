@@ -391,3 +391,20 @@ def test_ann_ivf_recall_and_exact_degenerate(spark, emb):
     again = [r.id for r in
              ann.ann_topk_ivf(emb, qv, k=10, n_lists=8, n_probe=3).collect()]
     assert approx == again
+
+
+@pytest.mark.spark
+def test_cosine_near_dup_lsh_null_vectors(spark, emb):
+    """A nullable embedding column whose FIRST row is NULL must not
+    crash dim derivation (cosine_topk tolerates NULLs; the pair path
+    must too), and NULL rows must simply be excluded."""
+    nulls = spark.createDataFrame(
+        [(500001, None, 0), (500002, None, 0)],
+        "vec_id long, embedding array<float>, label int")
+    emb2 = nulls.unionByName(emb)  # NULL row first
+    got = ann.cosine_near_dup_lsh(emb2, threshold=0.95, n_bits=10,
+                                  n_tables=8).collect()
+    assert all(r.id_a not in (500001, 500002)
+               and r.id_b not in (500001, 500002) for r in got)
+    # all-NULL input → empty frame, not a crash
+    assert ann.cosine_near_dup_lsh(nulls, threshold=0.9).count() == 0

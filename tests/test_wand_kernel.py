@@ -210,3 +210,55 @@ def test_lazy_kernel_paging_window(offset_k):
     d1, s1 = _score_shard_np(pdf, idf, K1, B, AVGDL, kk, 0, True)
     d0, s0 = _score_shard_np(pdf, idf, K1, B, AVGDL, kk, 0, False)
     assert np.array_equal(d1, d0) and np.allclose(s1, s0)
+
+
+def test_lazy_kernel_boosted_weights_need_boosted_bounds():
+    """Fielded keys score with w = idf × boost, so the block bound fed
+    to the kernel must be boost-scaled too (fielded.py scales the
+    stored max_score_ub, which codec.py:127 writes as idf × max
+    tf-norm only). Regression for the bound/weight mismatch: with raw
+    bounds the kernel over-retires blocks that still hold top-k
+    winners and silently returns wrong results."""
+    from jivesearch_spark.query import (_dense_arrays_from_tb,
+                                        _term_block_meta,
+                                        _topk_blockmax_lazy,
+                                        _topk_impact_ordered)
+    rng = np.random.default_rng(7)
+    k1, b, avgdl = 1.2, 0.75, 6.0
+    n = 120_000
+    docids = np.sort(rng.choice(np.arange(1_000_000), size=n, replace=False))
+    tfs = (rng.zipf(1.6, size=n) % 7 + 1).astype(np.int64)
+    dls = rng.integers(2, 12, size=n).astype(np.int64)
+    idf, boost = 1.3, 3.0
+    rows = []
+    for blk in codec.encode_blocks(docids, tfs, dls, idf=idf, k1=k1, b=b,
+                                   avgdl=avgdl):
+        blk["term"] = "bob"
+        rows.append(blk)
+    pdf = pd.DataFrame(rows)
+
+    def topk(scale_ub):
+        tb = _term_block_meta(pdf, {"bob": idf * boost})
+        for meta in tb.values():
+            meta["avgdl"] = avgdl
+            if scale_ub:
+                meta["ub"] = meta["ub"] * boost
+        st = {}
+        d, s = _topk_blockmax_lazy(tb, 10, 0, k1, b, avgdl, stats=st)
+        return list(zip(d.tolist(), np.round(s, 6).tolist())), st
+
+    tb = _term_block_meta(pdf, {"bob": idf * boost})
+    for meta in tb.values():
+        meta["avgdl"] = avgdl
+    want = _topk_impact_ordered(_dense_arrays_from_tb(tb, k1, b, avgdl), 10, 0)
+    want = list(zip(want[0].tolist(), np.round(want[1], 6).tolist()))
+
+    good, gst = topk(scale_ub=True)
+    assert good == want
+    # the bound is load-bearing: real skipping happened on this data
+    assert not gst.get("dense_bailout") and \
+        gst["blocks_decoded"] < gst["blocks_total"], gst
+    # and with unboosted bounds the same sweep over-retires (this is
+    # the failure mode the fielded tb construction must avoid)
+    bad, _ = topk(scale_ub=False)
+    assert bad != want
