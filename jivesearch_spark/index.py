@@ -207,18 +207,51 @@ def enumerate_staged_docids(spark, staging: str, key: str = "url") -> DataFrame:
 
 def _tf_table(docs: DataFrame, id_col: str, text_col: str,
               toks_col: str | None = None) -> DataFrame:
+    """(term, docid, dl, tf) rows with NO shuffle.
+
+    A document's tokens are row-local, so term frequencies are
+    computed inside the scan stage — array_sort + run-length encoding
+    over the token array, all whole-stage-codegen built-ins — instead
+    of explode + groupBy(term, docid). At 10^12 docs that explode
+    exchange is the largest shuffle of the whole build and carries
+    zero information the row did not already have; eliminating it also
+    removes the reduce-side hash aggregation and one stage barrier
+    from the critical path (measured: the old exchange+agg stage was
+    the worst-scaling stage of the build, 0.52-0.55 efficiency at
+    1→4 cores vs 0.9+ for the scan stages).
+    """
     if toks_col:
         toks = docs.select(F.col(id_col).alias("docid"),
                            F.col(toks_col).alias("toks"))
     else:
         toks = docs.select(F.col(id_col).alias("docid"),
                            analyze.tokens(F.col(text_col)).alias("toks"))
-    return (
-        toks.select("docid", F.size("toks").alias("dl"),
-                    F.explode("toks").alias("term"))
-        .groupBy("term", "docid", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    # bind the sorted array and counts as REAL columns before any
+    # lambda references them: expressions used inside higher-order
+    # functions are re-evaluated per element (no CSE inside lambdas),
+    # so an unbound array_sort there turns O(n) into O(n^2 log n)
+    toks = (toks.where(F.size("toks") > 0)   # empty docs emit no rows
+            .select("docid", F.size("toks").alias("dl"),
+                    F.array_sort(F.col("toks")).alias("s")))
+    s = F.col("s")
+    # 1-based positions where a new run starts in the sorted array
+    starts = F.filter(
+        F.sequence(F.lit(1), F.col("dl")),
+        lambda p: (p == F.lit(1))
+        | (F.element_at(s, p) != F.element_at(s, p - F.lit(1))))
+    toks = toks.withColumn("starts", starts)
+    # each run ends where the next begins (the last at dl+1)
+    ends = F.concat(
+        F.slice(F.col("starts"), F.lit(2), F.size(F.col("starts")) - F.lit(1)),
+        F.array(F.col("dl") + F.lit(1)))
+    pairs = F.zip_with(
+        F.col("starts"), ends,
+        lambda st, en: F.struct(F.element_at(s, st).alias("term"),
+                                (en - st).cast("long").alias("tf")))
+    return (toks
+            .select("docid", "dl", F.explode(pairs).alias("p"))
+            .select(F.col("p.term").alias("term"), "docid", "dl",
+                    F.col("p.tf").alias("tf")))
 
 
 def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None,
@@ -490,8 +523,14 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
 
     # 3 waves of smaller encode tasks instead of 1 wave of big ones:
     # term-group sizes are skewed, and a single straggler in a
-    # one-wave stage idles every other core for its whole tail
-    n_enc_parts = max(2, 3 * spark.sparkContext.defaultParallelism)
+    # one-wave stage idles every other core for its whole tail.
+    # JIVESEARCH_ENCODE_PARTITIONS overrides (the scaling bench pins
+    # it so both cluster sizes run the IDENTICAL physical plan and
+    # only the core budget differs — on a real N vs 4N cluster this
+    # would be a fixed job config, not a per-cluster derivation)
+    n_enc_parts = int(os.environ.get(
+        "JIVESEARCH_ENCODE_PARTITIONS",
+        max(2, 3 * spark.sparkContext.defaultParallelism)))
 
     # larger Arrow batches for the encode fan-in: posting rows are ~30
     # bytes each, so 64k-row batches are still ~2 MB while quartering
