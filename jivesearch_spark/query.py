@@ -573,11 +573,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             n_left[ti] -= ords.size
             if n_left[ti] == 0:
                 exhausted[ti] = True
-        cand = np.unique(np.concatenate(cands))
-        if scored.size:
-            pos = np.searchsorted(scored, cand)
-            pos_c = np.minimum(pos, scored.size - 1)
-            cand = cand[scored[pos_c] != cand]
+        cand = _drop_scored(np.unique(np.concatenate(cands)), scored)
         batch = min(batch * 2, 512)
         if cand.size == 0:
             continue
@@ -665,16 +661,7 @@ def _topk_impact_ordered(dense: dict, k: int, msm_req: int,
         orders[t] = order
 
     def exact_scores(cand):
-        total = np.zeros(cand.size)
-        matched = np.zeros(cand.size, dtype=np.int32)
-        for t in names:   # fixed accumulation order (determinism)
-            td = dense[t]
-            pos = np.searchsorted(td["docids"], cand)
-            pos_c = np.minimum(pos, td["docids"].size - 1)
-            hit = td["docids"][pos_c] == cand
-            total += np.where(hit, td["scores"][pos_c], 0.0)
-            matched += hit.astype(np.int32)
-        return total, matched
+        return _exact_scores_over(dense, names, cand)
 
     sizes = {t: dense[t]["docids"].size for t in names}
     total_postings = sum(sizes.values())
@@ -692,12 +679,8 @@ def _topk_impact_ordered(dense: dict, k: int, msm_req: int,
             break
         if consumed > 0.25 * total_postings:
             # no separation — finish brute over everything unseen
-            rest = np.unique(np.concatenate(
-                [dense[t]["docids"] for t in names]))
-            if scored.size:
-                p = np.searchsorted(scored, rest)
-                pc = np.minimum(p, scored.size - 1)
-                rest = rest[scored[pc] != rest]
+            rest = _drop_scored(np.unique(np.concatenate(
+                [dense[t]["docids"] for t in names])), scored)
             if rest.size:
                 tot, mat = exact_scores(rest)
                 got_d.append(rest)
@@ -712,11 +695,7 @@ def _topk_impact_ordered(dense: dict, k: int, msm_req: int,
                 cands.append(dense[t]["docids"][orders[t][lo:hi]])
                 consumed += hi - lo
                 pos[t] = hi
-        cand = np.unique(np.concatenate(cands))
-        if scored.size:
-            p = np.searchsorted(scored, cand)
-            pc = np.minimum(p, scored.size - 1)
-            cand = cand[scored[pc] != cand]
+        cand = _drop_scored(np.unique(np.concatenate(cands)), scored)
         chunk = min(chunk * 2, 65536)
         if cand.size == 0:
             continue
@@ -749,6 +728,34 @@ def _topk_impact_ordered(dense: dict, k: int, msm_req: int,
     return cand[idx].astype(np.int64), total[idx]
 
 
+def _exact_scores_over(sources: dict, names, cand: np.ndarray):
+    """Σ per-list contributions + hit counts for sorted-unique ``cand``.
+
+    THE exact-scoring probe every kernel path shares; ``names`` fixes
+    the accumulation order (the determinism rule — float addition is
+    not associative, and the pinned oracle sums in sorted-term order).
+    """
+    total = np.zeros(cand.size)
+    matched = np.zeros(cand.size, dtype=np.int32)
+    for t in names:
+        td = sources[t]
+        pos = np.searchsorted(td["docids"], cand)
+        pos_c = np.minimum(pos, td["docids"].size - 1)
+        hit = td["docids"][pos_c] == cand
+        total += np.where(hit, td["scores"][pos_c], 0.0)
+        matched += hit.astype(np.int32)
+    return total, matched
+
+
+def _drop_scored(cand: np.ndarray, scored: np.ndarray) -> np.ndarray:
+    """Remove already-scored docids (both arrays sorted unique)."""
+    if not scored.size or not cand.size:
+        return cand
+    p = np.searchsorted(scored, cand)
+    pc = np.minimum(p, scored.size - 1)
+    return cand[scored[pc] != cand]
+
+
 def _topk_from_terms(terms: dict, k: int, msm_req: int, use_wand: bool):
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0)
@@ -756,16 +763,7 @@ def _topk_from_terms(terms: dict, k: int, msm_req: int, use_wand: bool):
     names = sorted(terms, key=lambda t: -terms[t]["max_ub"])
 
     def exact_scores(cand: np.ndarray):
-        total = np.zeros(cand.size)
-        matched = np.zeros(cand.size, dtype=np.int32)
-        for t in sorted(terms):  # fixed accumulation order (determinism)
-            td = terms[t]
-            pos = np.searchsorted(td["docids"], cand)
-            pos_c = np.minimum(pos, td["docids"].size - 1)
-            hit = td["docids"][pos_c] == cand
-            total += np.where(hit, td["scores"][pos_c], 0.0)
-            matched += hit.astype(np.int32)
-        return total, matched
+        return _exact_scores_over(terms, sorted(terms), cand)
 
     if not use_wand or len(names) <= 1:
         cand = np.unique(np.concatenate([terms[t]["docids"] for t in names]))
@@ -789,7 +787,7 @@ def _topk_from_terms(terms: dict, k: int, msm_req: int, use_wand: bool):
         rest = names[2:]
         if rest:
             cand2 = np.unique(np.concatenate([terms[t]["docids"] for t in rest]))
-            cand2 = cand2[~np.isin(cand2, cand1, assume_unique=True)]
+            cand2 = _drop_scored(cand2, cand1)
             if cand2.size:
                 ub = np.zeros(cand2.size)
                 for t in names:
