@@ -347,8 +347,13 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             # runs ONCE for stats + encode instead of twice; resume
             # granularity = stage boundary (on resume tf is rebuilt
             # from the docid staging).
-            from pyspark import StorageLevel
-            tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+            # persist measured vs recompute (round 3, tf now
+            # shuffle-free): recompute costs a second tokenize+RLE
+            # pass and loses ~15% wall at 4 cores; the persist wins.
+            # JIVESEARCH_TF_PERSIST=0 disables (memory-constrained).
+            if os.environ.get("JIVESEARCH_TF_PERSIST", "1") == "1":
+                from pyspark import StorageLevel
+                tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
             tf_live = tf
             stats_src = tf
         else:
@@ -538,7 +543,7 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     # small because other kernels carry wide binary/text payloads)
     _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     _arrow_prev = spark.conf.get(_arrow_key, "10000")
-    spark.conf.set(_arrow_key, "65536")
+    spark.conf.set(_arrow_key, os.environ.get("JIVESEARCH_ENCODE_ARROW_BATCH", "65536"))
     # restored in the finally even when an encode batch throws: the
     # override is session-wide and later kernels in the same session
     # carry wide binary/text payloads (the reason the default is small)
