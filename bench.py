@@ -225,7 +225,10 @@ sys.path.insert(0, {repo!r})
 # executor-shaped JVM: a right-sized heap + ParallelGC (the classic
 # throughput-executor tuning) — G1 on an oversized heap measured
 # ~9% slower at 4 concurrent tasks (write-barrier/locality cost)
-os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
+# SET, not setdefault: the parent bench process pollutes its env
+# with 48g when it materializes pages via make_session, and the
+# right-sized heap is load-bearing for the recorded numbers
+os.environ["SPARK_DRIVER_MEM"] = os.environ.get("BENCH_BUILD_MEM", "12g")
 from jivesearch_spark.session import get_spark
 import bench
 out, pages = sys.argv[2], sys.argv[3]
@@ -273,7 +276,10 @@ plan_cores = int(sys.argv[2])
 os.sched_setaffinity(0, {{i % os.cpu_count()}})
 os.environ["JIVESEARCH_ENCODE_PARTITIONS"] = str(3 * plan_cores)
 sys.path.insert(0, {repo!r})
-os.environ.setdefault("SPARK_DRIVER_MEM", "12g")
+# SET, not setdefault: the parent bench process pollutes its env
+# with 48g when it materializes pages via make_session, and the
+# right-sized heap is load-bearing for the recorded numbers
+os.environ["SPARK_DRIVER_MEM"] = os.environ.get("BENCH_BUILD_MEM", "12g")
 from jivesearch_spark.session import get_spark
 import bench
 spark = get_spark(master="local[1]", app_name=f"ceil-{{i}}",

@@ -533,9 +533,9 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     # it so both cluster sizes run the IDENTICAL physical plan and
     # only the core budget differs — on a real N vs 4N cluster this
     # would be a fixed job config, not a per-cluster derivation)
-    n_enc_parts = int(os.environ.get(
+    n_enc_parts = max(2, int(os.environ.get(
         "JIVESEARCH_ENCODE_PARTITIONS",
-        max(2, 3 * spark.sparkContext.defaultParallelism)))
+        3 * spark.sparkContext.defaultParallelism)))
 
     # larger Arrow batches for the encode fan-in: posting rows are ~30
     # bytes each, so 64k-row batches are still ~2 MB while quartering
