@@ -5,16 +5,19 @@ Measures the north-rule metrics (BASELINE.md):
 - crawl-to-index build throughput (docs/sec): pre-materialized
   synthetic pages parquet (IDENTICAL input bytes for both runs) →
   extraction → docid assignment → compressed inverted index, at TWO
-  parallelism levels (local[N/4] and local[N]) → scaling efficiency
-  (target ≥ 0.8). Each session runs one untimed warm-up job first so
-  Python-worker cold-start isn't attributed to either level.
+  parallelism levels (N and 4N cores, each half a subprocess PINNED
+  to exactly its core budget running the identical physical plan —
+  see _PINNED_BUILD) → scaling efficiency (target ≥ 0.8). Each
+  session runs one untimed warm-up job first so Python-worker
+  cold-start isn't attributed to either level.
 - BM25 top-10 query latency over the compressed index (block-max WAND
   on), reference-style queries replayed REPS×, p50/p95.
 - representative driver-table queries at $SPARK_GRAFT_SF_DIR.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_DOCS (default 1_000_000), BENCH_REPS (default 10).
+     BENCH_DOCS (default 400_000), BENCH_REPS (default 10),
+     BENCH_BUILD_MEM (pinned-child heap, default 12g).
 """
 
 from __future__ import annotations
