@@ -5,10 +5,12 @@ SURVEY.md §2 plus the training-data pipeline ops; ``oracle_sql()``
 gives the DuckDB-equivalent SQL for every SQL-expressible one (same
 column names, doubles rounded to 4dp on both sides, top-k ordering on
 score quantized to 1e-9 with id tie-breaks so the selected SET is
-engine-independent). Exactly 50 entries, 49 oracled; the only
-rows-only entry is lang_analyze (Porter stemming isn't DuckDB-
-expressible). LSH/IVF/minhash/simhash candidate generation is checked
-through oracled recall gates instead of raw pair dumps.
+engine-independent). Exactly 50 entries, ALL 50 oracled; non-SQL-
+expressible semantics (HTML extraction, Porter/light stemming) are
+pinned by precomputed-goldens VALUES tables derived from the pinned
+pure-Python reference pipelines. LSH/IVF/minhash/simhash candidate
+generation is checked through oracled recall gates instead of raw
+pair dumps.
 """
 
 from __future__ import annotations
@@ -726,6 +728,47 @@ SELECT url,
 FROM h"""
 
 
+def _lang_analyze_sql() -> str:
+    """Exact oracle for q_lang_analyze via the precomputed-goldens
+    VALUES pattern (_extract_pages_sql precedent): Porter / the light
+    stemmers aren't DuckDB-expressible, so the pinned pure-Python
+    pipeline (py_tokens_lang — the SAME code path the Arrow UDF runs,
+    analyze_lang.py:402-413) computes (n_tokens, head) per document at
+    oracle-generation time, and the VALUES table self-validates by
+    joining the live ``documents`` view on doc_id + lang + md5(text):
+    any drift between the corpus the goldens were derived from and the
+    corpus the driver registered shrinks the row count and fails the
+    gate loudly instead of passing stale goldens."""
+    import hashlib
+
+    import duckdb
+
+    from jivesearch_spark import analyze_lang as al
+
+    sf_dir = os.environ.get("JIVESEARCH_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id").fetchall()
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = []
+    for doc_id, text, lang in rows:
+        toks = al.py_tokens_lang(text, al.analyzer_for(lang or ""))
+        md5 = hashlib.md5((text or "").encode("utf-8")).hexdigest()
+        vals.append(f"({doc_id}, {q(lang) if lang is not None else 'NULL'}, "
+                    f"{len(toks)}, {q(' '.join(toks[:5]))}, {q(md5)})")
+    return f"""
+WITH g(doc_id, lang, n_tokens, head, text_md5)
+  AS (VALUES {", ".join(vals)})
+SELECT g.doc_id, g.lang, CAST(g.n_tokens AS BIGINT) AS n_tokens, g.head
+FROM g JOIN documents d
+  ON g.doc_id = d.doc_id AND g.lang IS NOT DISTINCT FROM d.lang
+ AND g.text_md5 = md5(d.text)"""
+
+
 def _media_decode_sql() -> str:
     """Exact replay of multimodal._stub_decode over the same 60
     payloads: the stub digests the lowercase-hex payload encoding, so
@@ -892,13 +935,14 @@ def q_lang_analyze(spark, sf_dir):
     analyzer analog): each row tokenized by its language's pinned
     chain (en→Porter, es/de/fr→light stemmers, zh→cjk bigrams) in ONE
     Arrow UDF. Porter isn't SQL-expressible in DuckDB (stem() needs an
-    extension download), so rows-only; token-level identity with the
-    Python oracle is the pytest gate."""
+    extension download), so the oracle embeds precomputed goldens from
+    the pinned pure-Python pipeline as a self-validating VALUES table
+    (_lang_analyze_sql)."""
     from jivesearch_spark import analyze_lang as al
     d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
     out = al.analyzed_docs(d)
     return out.select("doc_id", "lang",
-                      F.size("toks").alias("n_tokens"),
+                      F.size("toks").cast("long").alias("n_tokens"),
                       F.concat_ws(" ", F.slice("toks", 1, 5)).alias("head"))
 
 
@@ -945,9 +989,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Exactly 50 entries (the driver checks the first 50): 49 with
-    exact DuckDB oracles, ordered first; the single rows-only-by-
-    design entry (lang_analyze — Porter isn't SQL-expressible) last.
+    """Exactly 50 entries (the driver checks the first 50), ALL with
+    exact DuckDB oracles — lang_analyze gained one in round 4 via the
+    precomputed-goldens VALUES pattern (_lang_analyze_sql).
     Round-2 consolidation: the rows-only ann_*_topk /
     minhash_lsh_pairs / simhash_near_pairs entries are subsumed by the
     oracled recall gates (ann_lsh_recall / ann_ivf_recall /
@@ -1397,6 +1441,7 @@ LIMIT 10""",
         # regression in the LSH/IVF kernels flips it and hash-fails.
         "ann_lsh_recall": _ANN_RECALL_SQL,
         "ann_ivf_recall": _ANN_RECALL_SQL,
+        "lang_analyze": _lang_analyze_sql(),
         "cosine_near_dup": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -165,6 +165,81 @@ class CeilingMonitor:
                 if ln.startswith("SAMPLE")]
 
 
+def repo_procs_live() -> list:
+    """COMPUTE processes of this repo running outside the bench's own
+    process tree — the self-contamination the round-3 disclosure
+    documented (a concurrent pytest inflated one clean pair's local[1]
+    half to a flattered 0.953). Scans /proc cmdlines for pytest /
+    repo-importing python / Spark JVM markers. Excluded: this
+    process's descendants (the pinned build + monitor children
+    legitimately carry the repo path) AND its ancestors (the
+    driver/agent shell that launched bench always mentions the repo
+    in its cmdline but burns no CPU — flagging it would mark every
+    pair contaminated forever). Only python/java processes can hit:
+    idle shells and editors are not contamination."""
+    me = os.getpid()
+    ppid_of, cmd_of = {}, {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
+        pid = int(pid_s)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            ppid_of[pid] = int(parts[1])
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd_of[pid] = f.read().replace(b"\0", b" ").decode(
+                    "utf-8", "replace")
+        except (OSError, IndexError, ValueError):
+            continue
+
+    ancestors = set()
+    pid = me
+    while pid and pid not in ancestors:
+        ancestors.add(pid)
+        pid = ppid_of.get(pid, 0)
+
+    def mine(pid):
+        seen = set()
+        while pid and pid not in seen:
+            if pid == me:
+                return True
+            seen.add(pid)
+            pid = ppid_of.get(pid, 0)
+        return False
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    hits = []
+    for pid, cmd in cmd_of.items():
+        if pid in ancestors or mine(pid):
+            continue
+        lc = cmd.lower()
+        exe = lc.split(" ", 1)[0].rsplit("/", 1)[-1]
+        is_py = exe.startswith("python")
+        is_java = exe.endswith("java") or exe == "java"
+        if not (is_py or is_java):
+            continue
+        if ("pytest" in lc or (is_py and repo in cmd)
+                or (is_java and "spark" in lc)):
+            hits.append(f"pid {pid}: {cmd[:120]}")
+    return hits
+
+
+def wait_for_no_contamination(budget_s: float = 300.0) -> list:
+    """Wait (bounded) for the repo's own stray processes to finish
+    before a timed pair; returns whatever is still live (recorded on
+    the pair — a contaminated pair can never be counted clean)."""
+    t0 = time.time()
+    while True:
+        hits = repo_procs_live()
+        if not hits or time.time() - t0 > budget_s:
+            if hits:
+                log(f"[bench] contamination persists: {hits[:3]}")
+            return hits
+        log(f"[bench] waiting out contaminating procs: {hits[:2]}")
+        time.sleep(20)
+
+
 def wait_for_quiet(low: int, high: int, threshold: float,
                    budget_s: float) -> bool:
     """Poll the quick ALU probe until the host offers ~linear silicon
@@ -378,10 +453,16 @@ def main():
     quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "240"))
     pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "2100"))
     t_pairs0 = time.time()
-    lows, highs, ratios, ceils, norms = [], [], [], [], []
+    lows, highs, ratios, ceils, norms, contams = [], [], [], [], [], []
 
     def _clean():
-        return [r for r, c in zip(ratios, ceils) if c >= CLEAN_CEIL]
+        # a clean pair needs: monitor-validated ~linear silicon through
+        # BOTH halves, no repo-owned stray process alive at pair start
+        # (self-contamination), and a PHYSICAL ratio — efficiency > 1.0
+        # on shared silicon is a measurement failure (something slowed
+        # the low half), never a result
+        return [r for r, c, x in zip(ratios, ceils, contams)
+                if c >= CLEAN_CEIL and not x and r <= 1.0]
 
     def median(xs):
         ts = sorted(xs)
@@ -394,6 +475,7 @@ def main():
         # including the first: one monitor-validated clean pair is
         # worth more than an extra storm-window sample
         wait_for_quiet(low, high, CLEAN_CEIL, quiet_budget)
+        contam = wait_for_no_contamination()
         mon = CeilingMonitor(low, high)
         try:
             # alternate halves so monotonic drift biases both directions
@@ -415,11 +497,13 @@ def main():
         eff_r = (tl / th) / (high / low)
         log(f"[bench] pair rep{rep}: local[{low}]={tl:.1f}s "
             f"local[{high}]={th:.1f}s eff={eff_r:.3f} "
-            f"ceiling={ceil_r:.3f} ({len(samples)} in-build samples)")
+            f"ceiling={ceil_r:.3f} ({len(samples)} in-build samples)"
+            + (f" CONTAMINATED({len(contam)})" if contam else ""))
         lows.append(tl)
         highs.append(th)
         ratios.append(eff_r)
         ceils.append(ceil_r)
+        contams.append(bool(contam))
         norms.append(min(1.0, eff_r / ceil_r))
         if rep + 1 >= min_pairs:
             cl = _clean()
@@ -442,7 +526,7 @@ def main():
     # least-noise estimate of the true ratio (standard microbenchmark
     # practice; needs no window pairing at all).
     eff_min = (min(lows) / min(highs)) / (high / low)
-    results["scaling_efficiency_minreps"] = round(eff_min, 3)
+    results["scaling_efficiency_minreps"] = round(min(1.0, eff_min), 3)
     # The gate: median over monitor-validated pairs — pairs whose
     # every in-build ALU sample showed ~linear silicon. Dirty pairs
     # are excluded in BOTH directions (a burst during the low half
@@ -452,18 +536,25 @@ def main():
     # pre-declared statistic (never a max over estimators, which
     # would be systematically optimistic); eff_min above is published
     # as corroboration only.
+    # gate value is CLAMPED at 1.0 everywhere: a super-unity ratio on
+    # shared silicon is co-tenant noise (round-3's 1.075 headline),
+    # and super-unity pairs are already excluded from the clean set
     if len(clean) >= 2:
-        results["scaling_efficiency"] = round(median(clean), 3)
+        results["scaling_efficiency"] = round(min(1.0, median(clean)), 3)
         results["scaling_gate_basis"] = "median_clean_pairs"
     elif clean:
-        results["scaling_efficiency"] = round(clean[0], 3)
+        results["scaling_efficiency"] = round(min(1.0, clean[0]), 3)
         results["scaling_gate_basis"] = "single_clean_pair"
     else:
-        results["scaling_efficiency"] = round(median(ratios), 3)
+        # fallback basis excludes super-unity pairs when any physical
+        # pair exists (they are measurement failures, not samples)
+        phys = [r for r in ratios if r <= 1.0] or ratios
+        results["scaling_efficiency"] = round(min(1.0, median(phys)), 3)
         results["scaling_gate_basis"] = "median_all_pairs_no_clean_window"
     results["build_secs_low_all"] = [round(t, 1) for t in lows]
     results["build_secs_high_all"] = [round(t, 1) for t in highs]
     results["scaling_clean_pairs"] = [round(r, 3) for r in clean]
+    results["scaling_pair_contaminated"] = contams
     results["scaling_efficiency_median"] = round(median(ratios), 3)
     results["scaling_efficiency_pairs"] = [round(r, 3) for r in ratios]
     results["scaling_pair_ceilings"] = [round(c, 3) for c in ceils]
@@ -511,7 +602,15 @@ def main():
     results["build_docs_per_sec_peak"] = round(N_DOCS / t_peak, 1)
 
     # queries run at full width on the high-level build (identical
-    # bytes at any parallelism — determinism gate)
+    # bytes at any parallelism — determinism gate).
+    # Section window validation (round-3 ask: storm-inflated query
+    # numbers were unattributable): wait briefly for quiet, then stamp
+    # the section with its probe ceiling + an explicit dirty flag so a
+    # reader can tell a regression from a storm.
+    wait_for_quiet(low, high, CLEAN_CEIL, min(quiet_budget, 180.0))
+    qc = quick_ceiling(low, high)
+    results["query_window_ceiling"] = qc
+    results["query_window_dirty"] = qc < CLEAN_CEIL
     spark = make_session(CPUS)
 
     # ---- query replay on the compressed index (WAND on) ----
@@ -575,7 +674,11 @@ def main():
         local.topk_batch(qs_only, 10, use_wand=True)
     results["serve_qps"] = round(reps_qps * len(qs_only) / (time.time() - t0), 1)
 
-    # ---- driver-table queries at SF_DIR ----
+    # ---- driver-table queries at SF_DIR (window-stamped like the
+    # query section above) ----
+    tc = quick_ceiling(low, high)
+    results["tables_window_ceiling"] = tc
+    results["tables_window_dirty"] = tc < CLEAN_CEIL
     import __spark_entry__ as e
     qs = e.queries()
     for name in ["bm25_topk", "agg_pricing_summary", "revenue_by_nation",

@@ -17,6 +17,7 @@ query-log column through the same dispatch for offline analytics.
 
 from __future__ import annotations
 
+import os
 import urllib.parse
 from dataclasses import dataclass, field
 
@@ -167,18 +168,23 @@ DEFAULT_SUGGEST_TRIGGERS = ("g", "a", "b", "reddit", "w")
 #: locations are probed, then BUILTIN is used.
 BANGS_TOML_ENV = "JIVESEARCH_BANGS_TOML"
 
-#: probed when the env is unset: a local data dir, then a read-only
-#: reference checkout (bangs/bangs.go loads the same file shape)
+#: probed when the env is unset: data/ dirs anchored at this package
+#: and the repo root, resolved via __file__ — NEVER the CWD and never
+#: an absolute path outside the repo (round-3 advice: library defaults
+#: must not trust an unowned external checkout; pointing at a
+#: reference snapshot is explicit env wiring, done in the test/driver
+#: harness only)
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BANGS_TOML_PATHS = (
-    "data/bangs.toml",
-    "/root/reference/bangs/bangs.toml",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                 "bangs.toml"),
+    os.path.join(_REPO_DIR, "data", "bangs.toml"),
 )
 
 
 def corpus_path() -> str | None:
     """Path of the full bangs corpus: the env wins, else the first
     well-known location that exists, else None (→ BUILTIN)."""
-    import os
     p = os.environ.get(BANGS_TOML_ENV, "")
     if p:
         return p if os.path.exists(p) else None

@@ -235,10 +235,12 @@ def _tf_table(docs: DataFrame, id_col: str, text_col: str,
                     F.array_sort(F.col("toks")).alias("s")))
     s = F.col("s")
     # 1-based positions where a new run starts in the sorted array
+    # position 1 short-circuits via when(): Or's evaluation order is an
+    # implementation detail and element_at(s, 0) raises
     starts = F.filter(
         F.sequence(F.lit(1), F.col("dl")),
-        lambda p: (p == F.lit(1))
-        | (F.element_at(s, p) != F.element_at(s, p - F.lit(1))))
+        lambda p: F.when(p == F.lit(1), F.lit(True)).otherwise(
+            F.element_at(s, p) != F.element_at(s, p - F.lit(1))))
     toks = toks.withColumn("starts", starts)
     # each run ends where the next begins (the last at dl+1)
     ends = F.concat(
@@ -387,94 +389,72 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     n_docs, avgdl = man.n_docs, man.avgdl
     k1, b, dps = params.k1, params.b, params.docs_per_shard
 
-    def _group_bounds(term_pa, shard_np):
-        """Boolean new-group mask over (term, shard) without creating a
-        Python string per row: adjacent-term inequality runs as Arrow
-        compute over two zero-copy slices."""
-        import pyarrow.compute as pc
-        n = len(shard_np)
-        new_grp = np.empty(n, dtype=bool)
-        new_grp[0] = True
-        if n > 1:
-            tdiff = pc.not_equal(term_pa.slice(1), term_pa.slice(0, n - 1))
-            new_grp[1:] = (tdiff.to_numpy(zero_copy_only=False)
-                           | (shard_np[1:] != shard_np[:-1]))
-        return new_grp
+    def _encode_stream(batch_iter):
+        """mapInArrow over GROUPED rows: one row per (term, shard)
+        posting list, its postings pre-aggregated JVM-side into three
+        primitive list columns (docids/tfs/dls, docid-sorted).
 
-    def _encode_groups(term_pa, cols, starts):
-        """Encode all complete (term, shard) groups of a sorted run.
-
-        Input is sorted by (term, shard, docid); one Arrow batch holds
-        thousands of tiny term groups and ALL of them are encoded in
-        three vectorized varint passes (codec.encode_blocks_frame) —
-        no per-group or per-block Python math. Term strings surface
-        only per-BLOCK (term_pa.take at block starts), never per
-        posting — the per-row Python-object traffic of a pandas
-        kernel is what this avoids.
+        Why grouped-arrays instead of one row per posting: the Arrow
+        exchange's per-row struct-vector bookkeeping
+        (NonNullableStructVector.getBufferSizeFor/setValueCount) was
+        JFR-measured at ~20% of JVM CPU with 4 concurrent tasks in one
+        JVM vs ~4% at 1 — the dominant intra-job scaling loss of the
+        whole build. Grouping shrinks rows crossing Arrow by the mean
+        posting-list length (and sends each term string ONCE per
+        group, not once per posting); list children transfer as plain
+        primitive buffers. The flattened values + list offsets are
+        exactly the (arrays, group_starts) shape the vectorized block
+        encoder consumes — zero per-group Python.
         """
         import pyarrow as pa
-        docid_a, tf_a, dl_a = cols["docid"], cols["tf"], cols["dl"]
-        df_a = cols["df"].astype(np.float64)
-        idf_row = np.log(1.0 + (n_docs - df_a + 0.5) / (df_a + 0.5))
-        tfn = (tf_a * (k1 + 1.0)
-               / (tf_a + k1 * (1.0 - b + b * dl_a / max(avgdl, 1e-9))))
-        bs, meta, deltas_b, tfs_b, dls_b = codec.encode_blocks_frame(
-            docid_a, tf_a, dl_a, idf_row * tfn, starts)
-        return pa.record_batch([
-            pa.array(cols["bucket"][bs], type=pa.int32()),
-            term_pa.take(pa.array(bs, type=pa.int64())),
-            pa.array(cols["shard"][bs], type=pa.int32()),
-            pa.array(meta["block_id"], type=pa.int32()),
-            pa.array(meta["first_docid"], type=pa.int64()),
-            pa.array(meta["last_docid"], type=pa.int64()),
-            pa.array(meta["n_docs"], type=pa.int32()),
-            pa.array(meta["max_score_ub"], type=pa.float64()),
-            pa.array(deltas_b, type=pa.binary()),
-            pa.array(tfs_b, type=pa.binary()),
-            pa.array(dls_b, type=pa.binary()),
-        ], names=["bucket", "term", "shard", "block_id", "first_docid",
-                  "last_docid", "n_docs", "max_score_ub",
-                  "deltas", "tfs", "dls"])
-
-    _NUM_COLS = (("docid", np.int64), ("tf", np.int64), ("dl", np.int64),
-                 ("df", np.int64), ("bucket", np.int32), ("shard", np.int32))
-
-    def _encode_stream(batch_iter):
-        """mapInArrow with (term, shard)-group carry across batches:
-        rows of one group are contiguous within the sorted partition
-        but may straddle batch boundaries."""
-        import pyarrow as pa
-        carry = None  # (term pa.Array, dict of numpy arrays)
         for rb in batch_iter:
             if rb.num_rows == 0:
                 continue
             term_pa = rb.column("term")
             if isinstance(term_pa, pa.ChunkedArray):
                 term_pa = term_pa.combine_chunks()
-            cols = {name: rb.column(name).to_numpy(zero_copy_only=False)
-                          .astype(dt, copy=False)
-                    for name, dt in _NUM_COLS}
-            if carry is not None:
-                ct, cc = carry
-                term_pa = pa.concat_arrays([ct, term_pa])
-                cols = {k: np.concatenate([cc[k], cols[k]]) for k in cols}
-            new_grp = _group_bounds(term_pa, cols["shard"])
-            starts = np.flatnonzero(new_grp)
-            # the trailing group may continue in the next batch → carry it
-            split = int(starts[-1])
-            if split > 0:
-                yield _encode_groups(term_pa.slice(0, split),
-                                     {k: v[:split] for k, v in cols.items()},
-                                     starts[:-1])
-            carry = (term_pa.slice(split).combine_chunks()
-                     if isinstance(term_pa.slice(split), pa.ChunkedArray)
-                     else pa.concat_arrays([term_pa.slice(split)]),
-                     {k: v[split:].copy() for k, v in cols.items()})
-        if carry is not None and len(carry[1]["docid"]):
-            term_pa, cols = carry
-            yield _encode_groups(term_pa, cols,
-                                 np.flatnonzero(_group_bounds(term_pa,
-                                                              cols["shard"])))
+            shard_a = rb.column("shard").to_numpy(zero_copy_only=False)
+            df_a = rb.column("df").to_numpy(zero_copy_only=False)
+            bucket_a = rb.column("bucket").to_numpy(zero_copy_only=False)
+
+            def flat(name):
+                arr = rb.column(name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                off = np.asarray(arr.offsets)
+                vals = np.asarray(arr.values)[off[0]:off[-1]]
+                return vals.astype(np.int64, copy=False), (off - off[0])
+
+            docid_a, off = flat("docids")
+            tf_a, _ = flat("tfs_a")
+            dl_a, _ = flat("dls_a")
+            sizes = np.diff(off)
+            idf_g = np.log(1.0 + (n_docs - df_a.astype(np.float64) + 0.5)
+                           / (df_a.astype(np.float64) + 0.5))
+            tfn = (tf_a * (k1 + 1.0)
+                   / (tf_a + k1 * (1.0 - b + b * dl_a / max(avgdl, 1e-9))))
+            bs, meta, deltas_b, tfs_b, dls_b = codec.encode_blocks_frame(
+                docid_a, tf_a, dl_a, np.repeat(idf_g, sizes) * tfn,
+                off[:-1].astype(np.int64))
+            # block → source group (row) index
+            gi = np.searchsorted(off, bs, side="right") - 1
+            yield pa.record_batch([
+                pa.array(bucket_a[gi].astype(np.int32, copy=False),
+                         type=pa.int32()),
+                term_pa.take(pa.array(gi, type=pa.int64())),
+                pa.array(shard_a[gi].astype(np.int32, copy=False),
+                         type=pa.int32()),
+                pa.array(meta["block_id"], type=pa.int32()),
+                pa.array(meta["first_docid"], type=pa.int64()),
+                pa.array(meta["last_docid"], type=pa.int64()),
+                pa.array(meta["n_docs"], type=pa.int32()),
+                pa.array(meta["max_score_ub"], type=pa.float64()),
+                pa.array(deltas_b, type=pa.binary()),
+                pa.array(tfs_b, type=pa.binary()),
+                pa.array(dls_b, type=pa.binary()),
+            ], names=["bucket", "term", "shard", "block_id", "first_docid",
+                      "last_docid", "n_docs", "max_score_ub",
+                      "deltas", "tfs", "dls"])
 
     stats = spark.read.schema(TERM_STATS_SCHEMA).parquet(stats_path)
     if id_col not in docs.columns:
@@ -537,13 +517,14 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         "JIVESEARCH_ENCODE_PARTITIONS",
         3 * spark.sparkContext.defaultParallelism)))
 
-    # larger Arrow batches for the encode fan-in: posting rows are ~30
-    # bytes each, so 64k-row batches are still ~2 MB while quartering
-    # the per-batch Python/IPC fixed cost (the session default stays
-    # small because other kernels carry wide binary/text payloads)
+    # encode fan-in batches: one row per (term, shard) GROUP (mean
+    # ~10-30 postings as three primitive list columns), so 16k rows is
+    # a few MB while amortizing the per-batch Python/IPC fixed cost
+    # (the session default stays small because other kernels carry
+    # wide binary/text payloads)
     _arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
     _arrow_prev = spark.conf.get(_arrow_key, "10000")
-    spark.conf.set(_arrow_key, os.environ.get("JIVESEARCH_ENCODE_ARROW_BATCH", "65536"))
+    spark.conf.set(_arrow_key, os.environ.get("JIVESEARCH_ENCODE_ARROW_BATCH", "16384"))
     # restored in the finally even when an encode batch throws: the
     # override is session-wide and later kernels in the same session
     # carry wide binary/text payloads (the reason the default is small)
@@ -554,12 +535,30 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
                 log(f"[index] resume: skipping {key}")
                 continue
             t0 = time.time()
+            # group each (term, shard) posting list JVM-side: the
+            # repartition's HashPartitioning(term, shard) already
+            # satisfies the groupBy's distribution, so the agg adds no
+            # second exchange; array_sort on the struct array orders by
+            # docid (first struct field). The post-agg sort pins row
+            # order (hash-agg iteration order is not deterministic),
+            # keeping output bytes parallelism-invariant — the
+            # determinism gate.
             part = (
                 tf_source.where(F.col("bucket").isin(batch))
                 .join(stats.where(F.col("bucket").isin(batch)).select("term", "df"), "term")
                 .withColumn("shard", (F.col("docid") / F.lit(dps)).cast("int"))
                 .repartition(n_enc_parts, "term", "shard")
-                .sortWithinPartitions("term", "shard", "docid")
+                .groupBy("term", "shard")
+                .agg(F.first("df").alias("df"),
+                     F.first("bucket").alias("bucket"),
+                     F.array_sort(
+                         F.collect_list(F.struct("docid", "tf", "dl"))
+                     ).alias("ps"))
+                .select("term", "shard", "df", "bucket",
+                        F.col("ps.docid").alias("docids"),
+                        F.col("ps.tf").alias("tfs_a"),
+                        F.col("ps.dl").alias("dls_a"))
+                .sortWithinPartitions("term", "shard")
             )
             from pyspark.sql import Observation
             obs = Observation(f"batch_{key}")

@@ -17,6 +17,8 @@ only shuffle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,17 +53,21 @@ def load_naughty(path: str) -> frozenset[str]:
 NAUGHTY_TXT_ENV = "JIVESEARCH_NAUGHTY_TXT"
 
 #: probed when the env is unset (suggest/suggest.go:32 loads the same
-#: one-term-per-line shape)
+#: one-term-per-line shape): data/ dirs anchored at this package and
+#: the repo root via __file__ — never the CWD, never an absolute path
+#: outside the repo (round-3 advice; the reference-snapshot path is
+#: explicit env wiring in the test/driver harness only)
 NAUGHTY_TXT_PATHS = (
-    "data/naughty.txt",
-    "/root/reference/suggest/naughty.txt",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                 "naughty.txt"),
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "data", "naughty.txt"),
 )
 
 
 def naughty_path() -> str | None:
     """Path of the full blocklist: the env wins, else the first
     well-known location that exists, else None (→ built-in subset)."""
-    import os
     p = os.environ.get(NAUGHTY_TXT_ENV, "")
     if p:
         return p if os.path.exists(p) else None

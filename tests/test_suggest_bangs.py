@@ -229,17 +229,20 @@ def test_env_wiring_and_autocomplete_routing(monkeypatch):
     assert r["kind"] == "completions"
     assert r["suggestions"][0] == {"query": "hello world", "weight": 3}
 
-    # env unset → well-known locations are probed; when this sandbox
-    # carries the reference snapshot, the full corpora load with NO
-    # wiring at all (the out-of-the-box deployment experience); on a
-    # fresh clone without the snapshot the builtins are the fallback
+    # env unset → only repo-anchored data/ dirs are probed (resolved
+    # via __file__, never the CWD, never a path outside the repo —
+    # round-3 advice: an external checkout is explicit env wiring,
+    # not a library default)
     monkeypatch.delenv(B.BANGS_TOML_ENV)
     monkeypatch.delenv(S.NAUGHTY_TXT_ENV)
     import os as _os
-    if _os.path.exists(REF_BANGS):
-        assert len(B.default_corpus()) == 7438
-    if _os.path.exists(REF_NAUGHTY):
-        assert len(S.default_naughty()) > 2500
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(B.__file__)))
+    for p in B.BANGS_TOML_PATHS + S.NAUGHTY_TXT_PATHS:
+        assert _os.path.isabs(p) and p.startswith(repo + _os.sep)
+    if not any(map(_os.path.exists, B.BANGS_TOML_PATHS)):
+        assert B.default_corpus() == list(B.BUILTIN)
+    if not any(map(_os.path.exists, S.NAUGHTY_TXT_PATHS)):
+        assert S.default_naughty() == S.NAUGHTY
 
     # nothing probed anywhere → builtins
     monkeypatch.setattr(B, "BANGS_TOML_PATHS", ())
