@@ -819,10 +819,15 @@ def q_neardup_recall(spark, sf_dir):
     doc_id % 97 == 0, re-id'd +1,000,000) must ALL surface as
     Hamming ≤ 3 candidate pairs — identical text ⇒ identical 64-bit
     signature, so a miss means the signature kernel or the pigeonhole
-    chunk join broke. n_exact is SQL-verified by the oracle;
-    recall_ok is the measured gate (a recall regression flips it and
-    hash-fails the driver row)."""
-    from jivesearch_spark.tdp import dedup
+    chunk join broke. cosine_lsh: planted near-duplicate EMBEDDINGS
+    (every vec_id % 41 == 0, re-id'd +1,000,000, deterministically
+    perturbed to cosine ≈ 0.994) must all surface from
+    ann.cosine_near_dup_lsh — the 100-TB embedding-dedup path
+    (bucketed candidate generation + exact-cosine verify) sits in the
+    driver's hard signal like the text paths. n_exact is SQL-verified
+    by the oracle; recall_ok is the measured gate (a recall
+    regression flips it and hash-fails the driver row)."""
+    from jivesearch_spark.tdp import ann, dedup
     docs = _docs(spark, sf_dir)
     exact = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
                                       max_shingle_df=10**9).select("id_a", "id_b")
@@ -842,8 +847,28 @@ def q_neardup_recall(spark, sf_dir):
     n_sh = expect.count()
     f_sh = expect.join(sh_pairs, ["id_a", "id_b"], "left_semi").count()
     ok_sh = (f_sh == n_sh)
+
+    emb = (spark.read.parquet(_t(sf_dir, "embeddings"))
+           .select("vec_id", "embedding"))
+    planted_e = emb.where(F.col("vec_id") % 41 == 0)
+    pert = planted_e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (1.0 + 0.05 * (
+                F.pmod(F.col("vec_id") * 31 + i, F.lit(7)) - 3))
+        ).alias("embedding"))
+    cl_pairs = ann.cosine_near_dup_lsh(
+        emb.unionByName(pert), threshold=0.9).select("id_a", "id_b")
+    expect_e = planted_e.select(F.col("vec_id").alias("id_a"),
+                                (F.col("vec_id") + 1000000).alias("id_b"))
+    n_cl = expect_e.count()
+    f_cl = expect_e.join(cl_pairs, ["id_a", "id_b"], "left_semi").count()
+    ok_cl = (f_cl >= 0.9 * n_cl) if n_cl else True
+
     return spark.createDataFrame(
-        [("minhash", n_mh, ok_mh), ("simhash", n_sh, ok_sh)],
+        [("cosine_lsh", n_cl, ok_cl), ("minhash", n_mh, ok_mh),
+         ("simhash", n_sh, ok_sh)],
         "method string, n_exact long, recall_ok boolean")
 
 
@@ -1374,7 +1399,10 @@ ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
-SELECT 'minhash' AS method, count(*) AS n_exact, true AS recall_ok
+SELECT 'cosine_lsh' AS method, count(*) AS n_exact, true AS recall_ok
+FROM embeddings WHERE vec_id % 41 = 0
+UNION ALL
+SELECT 'minhash', count(*), true
 FROM inter
 JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
 WHERE c / (len(sa.s) + len(sb.s) - c) >= 0.5

@@ -49,14 +49,83 @@ def sniff_kind(data: bytes | None) -> str:
 
 def available_decoder() -> str:
     """Import probe for a real image decoder: 'pil' when Pillow is
-    importable, else 'stub'. Run inside the Arrow UDF too (executors
-    probe their own environment), so the component upgrades itself the
-    day the deployment gains the library — no code change."""
+    importable, else 'headers' (stdlib-only container header parse —
+    true width/height for PNG/GIF/JPEG, everything else stub-derived).
+    Run inside the Arrow UDF too (executors probe their own
+    environment), so the component upgrades itself the day the
+    deployment gains the library — no code change."""
     try:
         import PIL.Image  # noqa: F401
         return "pil"
     except ImportError:
-        return "stub"
+        return "headers"
+
+
+def parse_image_dims(data: bytes) -> tuple[int, int] | None:
+    """True (width, height) from image container headers, stdlib-only
+    (round-3 verdict ask #8 — the reference's scorer reads real
+    dimensions, image/cmd/images.go:153-188; in a container with no
+    Pillow these three formats' headers are trivially parseable):
+
+    - PNG: IHDR is mandated to be the first chunk — width/height are
+      the two big-endian u32 at bytes 16..24 (public PNG spec §11.2.2).
+    - GIF: logical screen descriptor — two little-endian u16 at bytes
+      6..10 (GIF89a spec §18).
+    - JPEG: scan markers for a start-of-frame (SOF0-15 minus
+      DHT/DAC/RST): height/width are big-endian u16 at offsets 5/7 of
+      the segment payload (JPEG ITU-T.81 §B.2.2).
+
+    Returns None when the payload is not one of these formats or its
+    header is malformed/truncated (callers fall back to the stub)."""
+    if len(data) >= 24 and data.startswith(b"\x89PNG\r\n\x1a\n"):
+        if data[12:16] != b"IHDR":
+            return None
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return (w, h) if w and h else None
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(data[6:8], "little")
+        h = int.from_bytes(data[8:10], "little")
+        return (w, h) if w and h else None
+    if len(data) >= 4 and data.startswith(b"\xff\xd8\xff"):
+        i = 2
+        n = len(data)
+        while i + 9 < n:
+            if data[i] != 0xFF:
+                return None     # lost marker sync — malformed
+            marker = data[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9:   # RST/SOI/EOI: no payload
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    return None
+                h = int.from_bytes(data[i + 5:i + 7], "big")
+                w = int.from_bytes(data[i + 7:i + 9], "big")
+                return (w, h) if w and h else None
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def _headers_decode(data: bytes, feature_dim: int = 8):
+    """Stdlib decode: TRUE dimensions from the container header for
+    PNG/GIF/JPEG; every other field (feature sketch, nsfw score,
+    n_frames, non-image kinds) keeps the deterministic stub semantics.
+    Malformed image headers fall back to the stub entirely — same
+    skip-on-error shape as the reference (images.go:162-171)."""
+    kind, dec = _stub_decode(data, feature_dim)
+    if dec is not None and kind.startswith("image/"):
+        dims = parse_image_dims(data)
+        if dims is not None:
+            dec = (dims[0], dims[1]) + dec[2:]
+    return kind, dec
 
 
 def _pil_decode(data: bytes, feature_dim: int = 8):
@@ -134,7 +203,8 @@ def decode_media(media: DataFrame, id_col: str = "media_id",
 
     def _decode(batch_iter):
         mode = available_decoder() if decoder == "auto" else decoder
-        decode_one = _pil_decode if mode == "pil" else _stub_decode
+        decode_one = {"pil": _pil_decode,
+                      "headers": _headers_decode}.get(mode, _stub_decode)
         for pdf in batch_iter:
             rows = []
             for mid, data in zip(pdf["id"], pdf["payload"]):

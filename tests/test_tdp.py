@@ -316,17 +316,48 @@ def _minimal_png(w: int, h: int) -> bytes:
 @pytest.mark.spark
 def test_multimodal_decoder_probe(spark):
     """decoder='auto' import-probes Pillow per executor: with the
-    library absent it MUST equal the stub path bit-for-bit; with it
-    present, a hand-built PNG must decode to its true dimensions."""
+    library absent the stdlib header parser still reads TRUE
+    dimensions for PNG (feature/nsfw stay digest-pinned stub values);
+    with Pillow present the real decode takes over."""
     png = _minimal_png(20, 7)
     media = spark.createDataFrame([(1, png)], "media_id long, payload binary")
     auto = multimodal.decode_media(media, decoder="auto").collect()[0]
     stub = multimodal.decode_media(media, decoder="stub").collect()[0]
     assert auto.kind == stub.kind == "image/png"
-    if multimodal.available_decoder() == "pil":
-        assert (auto.width, auto.height) == (20, 7) and auto.ok
-    else:
-        assert auto == stub
+    assert (auto.width, auto.height) == (20, 7) and auto.ok
+    if multimodal.available_decoder() != "pil":
+        # headers mode: only the dims differ from the stub
+        assert auto.feature == stub.feature
+        assert auto.nsfw_score == stub.nsfw_score
+        assert auto.n_frames == stub.n_frames
+
+
+def test_parse_image_dims_stdlib():
+    """True header dims for the three parseable formats + fallback on
+    malformed headers (round-3 verdict ask #8)."""
+    import struct
+
+    png = _minimal_png(64, 48)
+    assert multimodal.parse_image_dims(png) == (64, 48)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert multimodal.parse_image_dims(gif) == (320, 200)
+
+    # minimal JPEG: SOI + APP0 (16 bytes) + SOF0 carrying 99x77
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 77, 99) + b"\x01\x11\x00")
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert multimodal.parse_image_dims(jpeg) == (99, 77)
+
+    # malformed: PNG magic but no IHDR; truncated GIF; junk
+    assert multimodal.parse_image_dims(b"\x89PNG\r\n\x1a\n" + b"x" * 64) is None
+    assert multimodal.parse_image_dims(b"GIF89a\x01") is None
+    assert multimodal.parse_image_dims(b"garbage") is None
+    # malformed headers fall back to the stub decode entirely
+    kind, dec = multimodal._headers_decode(b"\x89PNG\r\n\x1a\n" + b"x" * 64)
+    _, sdec = multimodal._stub_decode(b"\x89PNG\r\n\x1a\n" + b"x" * 64)
+    assert kind == "image/png" and dec == sdec
 
 
 @pytest.mark.spark
