@@ -299,6 +299,7 @@ os.sched_setaffinity(0, set(range(cores)))
 # are fixed job configs, not per-cluster-size derivations — only the
 # core budget may differ between N and 4N
 os.environ["JIVESEARCH_ENCODE_PARTITIONS"] = str(3 * plan_cores)
+os.environ["JIVESEARCH_STAGING_PARTITIONS"] = str(3 * plan_cores)
 sys.path.insert(0, {repo!r})
 # executor-shaped JVM: a right-sized heap + ParallelGC (the classic
 # throughput-executor tuning) — G1 on an oversized heap measured
@@ -353,6 +354,7 @@ i = int(sys.argv[1])
 plan_cores = int(sys.argv[2])
 os.sched_setaffinity(0, {{i % os.cpu_count()}})
 os.environ["JIVESEARCH_ENCODE_PARTITIONS"] = str(3 * plan_cores)
+os.environ["JIVESEARCH_STAGING_PARTITIONS"] = str(3 * plan_cores)
 sys.path.insert(0, {repo!r})
 # SET, not setdefault: the parent bench process pollutes its env
 # with 48g when it materializes pages via make_session, and the
@@ -643,8 +645,10 @@ def main():
     # kernel actually decoded across the query set, fresh caches
     cold_li = LocalIndex(f"{WORK}/idx_high")
     dec = tot = 0
-    for _name, q in BENCH_QUERIES:
+    for name, q in BENCH_QUERIES:
+        t0 = time.time()
         cold_li.topk(q, 10, use_wand=True)
+        results[name + "_serve_cold_ms"] = round(1000 * (time.time() - t0), 1)
         st = cold_li.last_stats.get(q, {})
         dec += st.get("blocks_decoded", 0)
         tot += st.get("blocks_total", 0)

@@ -150,8 +150,14 @@ def stage_docs_for_ids(docs: DataFrame, key: str = "url",
 
     spark = docs.sparkSession
     # 3 waves of range partitions — balances the per-partition sort +
-    # enumeration work across cores even when ranges are uneven
-    p = max(2, 3 * spark.sparkContext.defaultParallelism)
+    # enumeration work across cores even when ranges are uneven.
+    # JIVESEARCH_STAGING_PARTITIONS overrides (the scaling bench pins
+    # it so both cluster sizes run the IDENTICAL physical plan — on a
+    # real N vs 4N cluster this is a fixed job config, not a
+    # per-cluster derivation; same contract as ENCODE_PARTITIONS)
+    p = max(2, int(os.environ.get(
+        "JIVESEARCH_STAGING_PARTITIONS",
+        3 * spark.sparkContext.defaultParallelism)))
     staging = staging_dir or tempfile.mkdtemp(prefix="docids_")
     (docs.repartitionByRange(p, F.col(key))
      .withColumn("__pid", F.spark_partition_id())

@@ -76,6 +76,21 @@ def get_spark(master: str | None = None, app_name: str = "jivesearch-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # disable the per-ROW Arrow batch byte-size check: Spark's
+        # BatchedPythonArrowInput calls ArrowWriter.sizeInBytes() —
+        # a full walk of every field vector's buffers — before EVERY
+        # row it writes to a Python worker, unless maxBytesPerBatch
+        # equals Int.MaxValue exactly (underBatchSizeLimit$1 in
+        # PythonArrowInput.scala short-circuits only on that sentinel;
+        # the 64 MiB default and any other value pay the walk). JFR
+        # showed that walk (NonNullableStructVector.getBufferSizeFor)
+        # at ~20% of JVM CPU with 4 concurrent tasks per JVM — the
+        # round-3 scaling loss. Batch memory stays bounded by
+        # maxRecordsPerBatch (rows here are ≤ a few KB: pages, token
+        # arrays, posting groups), which was the only protection the
+        # byte cap added.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str((1 << 31) - 1))
         # zstd for data-at-rest and shuffle: ~2x smaller intermediates
         # trade memory/disk bandwidth (shared, does not scale with
         # cores) for compression CPU (scales) — better multi-core
