@@ -452,8 +452,8 @@ def main():
     max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "7"))
     min_pairs = max(2, BUILD_REPS - 1)
     CLEAN_CEIL = float(os.environ.get("BENCH_CLEAN_CEIL", "0.88"))
-    quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "240"))
-    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "2100"))
+    quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "420"))
+    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "2700"))
     t_pairs0 = time.time()
     lows, highs, ratios, ceils, norms, contams = [], [], [], [], [], []
 
