@@ -491,7 +491,11 @@ class FieldedLocalIndex:
         the budget (same policy + incremental accounting as
         serve.LocalIndex._evict — only ``touched`` keys recharge)."""
         def decoded(key):
-            n = self._store.get(key, {}).get("np", 0)
+            st = self._store.get(key, {})
+            n = st.get("np", 0)
+            ist = st.get("istream")
+            if ist is not None:
+                n += 2 * int(ist["d"].size)
             meta = self._meta_cache.get(key)
             if meta is not None:
                 if meta.get("dense") is not None:

@@ -862,6 +862,19 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
         d = tb[t]
         st = store[t]
         st.setdefault("iseg", {})
+        # CUMULATIVE per-term TA state, memoized across calls on the
+        # persistent block store (the serving tier's warm-query lever:
+        # a repeat query re-consumes the memoized score-desc stream
+        # with a fresh pointer — zero decodes, zero merges):
+        #   d/s  — all folded units' postings, (score desc, docid asc)
+        #   ld/ls — same postings docid-sorted (the NRA exact lookup)
+        #   n    — units folded so far (folding follows the static
+        #          desc-ub unit order, so n IS the resume pointer)
+        #   floors — per-shard tail floor once its deepest chunk folds
+        ist = st.setdefault("istream", {
+            "d": np.empty(0, dtype=np.int64), "s": np.empty(0),
+            "ld": np.empty(0, dtype=np.int64), "ls": np.empty(0),
+            "n": 0, "floors": {}})
         iub = d.get("iub")
         if iub is None:
             iub = np.empty(0)
@@ -885,27 +898,27 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
             total_s = int(d["nd"][d["bshard"] == s].sum())
             deepest = int(np.flatnonzero(sm)[-1])
             open_ = covered < total_s
-            tails[s] = {"deepest": deepest, "open": open_,
-                        "ub": float(iub[deepest]) if open_ else 0.0}
+            ub0 = ist["floors"].get(int(s), float(iub[deepest])) if open_ \
+                else 0.0
+            tails[s] = {"deepest": deepest, "open": open_, "ub": ub0}
         units[t] = {"ub": u_ub, "pref": u_pref, "ref": u_ref,
-                    "order": order, "p": 0, "tails": tails,
-                    # impact stream: decoded-but-unconsumed postings,
-                    # kept sorted (score desc, docid asc — the
-                    # deterministic consumption order)
-                    "sd": np.empty(0, dtype=np.int64),
-                    "ss": np.empty(0), "q": 0,
-                    # docid-sorted lookup over ALL decoded postings of
-                    # this term (prefix chunks + any decoded blocks):
-                    # free exact scores for the NRA candidate pruning
-                    "ld": np.empty(0, dtype=np.int64),
-                    "ls": np.empty(0)}
+                    "order": order, "p": int(ist["n"]), "tails": tails,
+                    "ist": ist,
+                    "sd": ist["d"], "ss": ist["s"], "q": 0,
+                    "ld": ist["ld"], "ls": ist["ls"]}
 
     def _decode_unit(t: str, ui: int):
-        """Decode unit ``ui`` of term t into its impact stream."""
+        """Fold unit ``ui`` of term t into its memoized impact stream.
+        The per-call consumption pointer resets to 0 afterwards:
+        already-consumed docids regenerate as candidates and are
+        dropped by ``scored`` dedup, and a stream head that points at
+        a consumed posting only OVERestimates the unseen bound —
+        conservative, never wrong."""
         nonlocal n_pref, n_reg
         u = units[t]
         d = tb[t]
         st = store[t]
+        ist = u["ist"]
         if u["pref"][ui]:
             ci = int(u["ref"][ui])
             got = st["iseg"].get(ci)
@@ -917,22 +930,28 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
                                                          k1, b, avgdl))
                 st["np"] += int(d["ind"][ci])
                 n_pref += 1
-            tl = u["tails"].get(int(d["ishard"][ci]))
+            sh = int(d["ishard"][ci])
+            tl = u["tails"].get(sh)
             if tl is not None and tl["deepest"] == ci and tl["open"]:
                 # the P-th impact bounds everything beyond the prefix
-                tl["ub"] = min(tl["ub"], float(got[1].min()))
+                floor = float(got[1].min())
+                tl["ub"] = min(tl["ub"], floor)
+                ist["floors"][sh] = min(ist["floors"].get(sh, floor), floor)
         else:
             o = int(u["ref"][ui])
             n_reg += _ensure_blocks(d, st, np.asarray([o]), k1, b, avgdl)
             got = st["seg"][o]
-        rem_d = np.concatenate([u["sd"][u["q"]:], got[0]])
-        rem_s = np.concatenate([u["ss"][u["q"]:], got[1]])
-        key = np.lexsort((rem_d, -rem_s))
-        u["sd"], u["ss"], u["q"] = rem_d[key], rem_s[key], 0
-        ld = np.concatenate([u["ld"], got[0]])
-        ls = np.concatenate([u["ls"], got[1]])
+        new_d = np.concatenate([ist["d"], got[0]])
+        new_s = np.concatenate([ist["s"], got[1]])
+        key = np.lexsort((new_d, -new_s))
+        ist["d"], ist["s"] = new_d[key], new_s[key]
+        ld = np.concatenate([ist["ld"], got[0]])
+        ls = np.concatenate([ist["ls"], got[1]])
         dk = np.argsort(ld, kind="stable")
-        u["ld"], u["ls"] = ld[dk], ls[dk]
+        ist["ld"], ist["ls"] = ld[dk], ls[dk]
+        ist["n"] += 1
+        u["sd"], u["ss"], u["q"] = ist["d"], ist["s"], 0
+        u["ld"], u["ls"] = ist["ld"], ist["ls"]
 
     def bound(t: str) -> float:
         u = units[t]

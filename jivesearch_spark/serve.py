@@ -197,7 +197,13 @@ class LocalIndex:
         are the only ones a query can change), so the per-query cost
         is O(|Q| + evictions), not O(cached terms)."""
         def decoded(t):
-            n = self._store.get(t, {}).get("np", 0)
+            st = self._store.get(t, {})
+            n = st.get("np", 0)
+            ist = st.get("istream")
+            if ist is not None:
+                # memoized TA stream + docid lookup: 2 extra
+                # (docid, score) copies of every folded posting
+                n += 2 * int(ist["d"].size)
             meta = self._meta_cache.get(t)
             if meta is not None:
                 if meta.get("dense") is not None:
