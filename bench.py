@@ -688,6 +688,14 @@ def main():
     for name in ["bm25_topk", "agg_pricing_summary", "revenue_by_nation",
                  "window_top3_orders", "dedup_exact", "token_counts",
                  "ann_cosine_topk"]:
+        # first execution pays one-time parquet-footer reads + Catalyst
+        # compile for the query shape (measured 9.9 s vs 1.1-1.4 s
+        # steady for bm25_topk at sf0.1 — round-3's "storm-inflated"
+        # table numbers were mostly THIS, unattributed); record both
+        # so a regression reads differently from a cold start
+        t0 = time.time()
+        qs[name](spark, SF_DIR).collect()
+        results[name + "_first"] = round(time.time() - t0, 3)
         t0 = time.time()
         qs[name](spark, SF_DIR).collect()
         results[name] = round(time.time() - t0, 3)
