@@ -270,8 +270,14 @@ def _bm25_scores(d: dict, tf: np.ndarray, dl: np.ndarray,
 def _ensure_blocks(d: dict, st: dict, ords, k1: float, b: float,
                    avgdl: float) -> int:
     """Decode the given regular-block ordinals of one term into its
-    block-granular store entry (segment map + docid-sorted concat).
-    Returns the number of NEWLY decoded blocks."""
+    block-granular store entry (segment map). Returns the number of
+    NEWLY decoded blocks. Deliberately does NOT maintain a global
+    concatenation of everything decoded: rebuilding one after every
+    probe batch is O(total decoded) per call — quadratic over a cold
+    TA sweep (measured: a 3.4M-doc cold head-2 query spent most of
+    its 1.07 s re-concatenating ~900k decoded postings hundreds of
+    times). Readers build lookups over exactly the blocks they touch
+    (_seg_lookup)."""
     seg = st["seg"]
     new = [int(o) for o in np.unique(ords) if int(o) not in seg]
     if not new:
@@ -285,27 +291,37 @@ def _ensure_blocks(d: dict, st: dict, ords, k1: float, b: float,
     for i, o in enumerate(new):
         seg[o] = (dd[offs[i]:offs[i + 1]], sc[offs[i]:offs[i + 1]])
     st["np"] += int(d["nd"][na].sum())
-    os_ = sorted(seg)   # ordinal order == docid order (disjoint ranges)
-    st["cat"] = (np.concatenate([seg[o][0] for o in os_]),
-                 np.concatenate([seg[o][1] for o in os_]))
     return len(new)
+
+
+def _seg_lookup(st: dict, ords: np.ndarray):
+    """(docids, scores) concatenated over the given DECODED block
+    ordinals — ordinal order == docid order (disjoint ranges), so the
+    result is docid-sorted. O(blocks touched), not O(blocks decoded)."""
+    seg = st["seg"]
+    parts = [seg[int(o)] for o in np.unique(ords)]
+    if not parts:
+        return (np.empty(0, dtype=np.int64), np.empty(0))
+    if len(parts) == 1:
+        return parts[0]
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
 
 
 def _probe_term(d: dict, st: dict, cand: np.ndarray, k1: float, b: float,
                 avgdl: float):
     """Exact contributions of one term for sorted unique ``cand``,
-    decoding only the covering blocks. Returns (contrib, hit, n_new)."""
-    n_new = 0
-    if d["first"].size:
-        j = np.searchsorted(d["first"], cand, side="right") - 1
-        jc = np.clip(j, 0, d["first"].size - 1)
-        covered = (j >= 0) & (cand <= d["last"][jc])
-        if covered.any():
-            n_new = _ensure_blocks(d, st, jc[covered], k1, b, avgdl)
-    cd_cs = st["cat"]
-    if cd_cs is None or cd_cs[0].size == 0:
-        return np.zeros(cand.size), np.zeros(cand.size, dtype=bool), n_new
-    cd, cs = cd_cs
+    decoding only the covering blocks and searching only those.
+    Returns (contrib, hit, n_new)."""
+    if not d["first"].size:
+        return np.zeros(cand.size), np.zeros(cand.size, dtype=bool), 0
+    j = np.searchsorted(d["first"], cand, side="right") - 1
+    jc = np.clip(j, 0, d["first"].size - 1)
+    covered = (j >= 0) & (cand <= d["last"][jc])
+    if not covered.any():
+        return np.zeros(cand.size), np.zeros(cand.size, dtype=bool), 0
+    n_new = _ensure_blocks(d, st, jc[covered], k1, b, avgdl)
+    cd, cs = _seg_lookup(st, jc[covered])
     pos = np.searchsorted(cd, cand)
     pos_c = np.minimum(pos, cd.size - 1)
     hit = cd[pos_c] == cand
@@ -416,7 +432,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     Generalizations for the serving tiers (all optional, defaults
     reproduce the single-field Spark-kernel semantics):
 
-    * ``store``: a persistent dict {key -> {"seg", "cat", "np"}} that
+    * ``store``: a persistent dict {key -> {"seg", "np"}} that
       outlives the call — decoded blocks accumulate across queries
       (the serving tier's block-granular cache), so warm queries
       decode nothing. The caller owns eviction.
@@ -547,7 +563,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
             if store is None:
                 store = {}
             for t in keys_all:
-                store.setdefault(t, {"seg": {}, "cat": None, "np": 0})
+                store.setdefault(t, {"seg": {}, "np": 0})
             return _topk_impact_prefix(tb, k, msm_req, k1, b, avgdl,
                                        store, stats=stats,
                                        n_base=n_decoded,
@@ -574,7 +590,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
     if store is None:
         store = {}
     for t in keys_all:
-        store.setdefault(t, {"seg": {}, "cat": None, "np": 0})
+        store.setdefault(t, {"seg": {}, "np": 0})
 
     def ensure(ki, ords):
         nonlocal n_decoded
@@ -874,7 +890,31 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
         ist = st.setdefault("istream", {
             "d": np.empty(0, dtype=np.int64), "s": np.empty(0),
             "ld": np.empty(0, dtype=np.int64), "ls": np.empty(0),
-            "n": 0, "floors": {}})
+            "n": 0, "floors": {}, "ld_np": 0})
+        # refresh the exact-lookup with EVERYTHING decoded so far
+        # (folded chunks + probe/sweep-decoded blocks): a warm repeat
+        # then resolves every candidate from ld — zero random access.
+        # Duplicate postings (a chunk's posting also in its covering
+        # block) are harmless: identical (docid, score), and
+        # searchsorted only needs one. Bound validity is unaffected —
+        # more founds only replace a ≤-bound with the exact value.
+        if ist["ld_np"] != st["np"] and (st["iseg"] or st["seg"]):
+            parts = ([st["iseg"][c] for c in sorted(st["iseg"])]
+                     + [st["seg"][o] for o in sorted(st["seg"])])
+            ld = np.concatenate([p[0] for p in parts])
+            ls = np.concatenate([p[1] for p in parts])
+            dk = np.argsort(ld, kind="stable")
+            ist["ld"], ist["ls"] = ld[dk], ls[dk]
+            ist["ld_np"] = st["np"]
+        # snapshot of regular blocks whose postings are ALL in ld (the
+        # pre-call decode set): a candidate covered by such a block and
+        # NOT found in ld is provably absent from this term — no probe.
+        # Blocks decoded later in THIS call are deliberately excluded
+        # (their postings enter ld only at the next call's resync).
+        segmask = np.zeros(d["ub"].size, dtype=bool)
+        if st["seg"]:
+            segmask[np.fromiter(st["seg"].keys(), dtype=np.int64,
+                                count=len(st["seg"]))] = True
         iub = d.get("iub")
         if iub is None:
             iub = np.empty(0)
@@ -903,9 +943,35 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
             tails[s] = {"deepest": deepest, "open": open_, "ub": ub0}
         units[t] = {"ub": u_ub, "pref": u_pref, "ref": u_ref,
                     "order": order, "p": int(ist["n"]), "tails": tails,
-                    "ist": ist,
+                    "ist": ist, "segmask": segmask,
                     "sd": ist["d"], "ss": ist["s"], "q": 0,
                     "ld": ist["ld"], "ls": ist["ls"]}
+
+    def _ta_probe(t, nf):
+        """Exact contributions for the not-found-in-ld candidates of
+        one term: candidates whose covering block was already decoded
+        BEFORE this call are provably absent (ld is authoritative for
+        the snapshot) — only the rest pay random access."""
+        nonlocal n_reg
+        d = tb[t]
+        contrib = np.zeros(nf.size)
+        hit = np.zeros(nf.size, dtype=bool)
+        if not d["first"].size:
+            return contrib, hit
+        j = np.searchsorted(d["first"], nf, side="right") - 1
+        jc = np.clip(j, 0, d["first"].size - 1)
+        covered = (j >= 0) & (nf <= d["last"][jc])
+        need = covered & ~units[t]["segmask"][jc]
+        if need.any():
+            st = store[t]
+            n_reg += _ensure_blocks(d, st, jc[need], k1, b, avgdl)
+            cd, cs = _seg_lookup(st, jc[need])
+            pos = np.searchsorted(cd, nf[need])
+            pos_c = np.minimum(pos, cd.size - 1)
+            h = cd[pos_c] == nf[need]
+            contrib[need] = np.where(h, cs[pos_c], 0.0)
+            hit[need] = h
+        return contrib, hit
 
     def _decode_unit(t: str, ui: int):
         """Fold unit ``ui`` of term t into its memoized impact stream.
@@ -949,6 +1015,7 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
         ls = np.concatenate([ist["ls"], got[1]])
         dk = np.argsort(ld, kind="stable")
         ist["ld"], ist["ls"] = ld[dk], ls[dk]
+        ist["ld_np"] = -1   # probes may also have decoded: resync next call
         ist["n"] += 1
         u["sd"], u["ss"], u["q"] = ist["d"], ist["s"], 0
         u["ld"], u["ls"] = ist["ld"], ist["ls"]
@@ -965,6 +1032,27 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
     scored = np.empty(0, dtype=np.int64)
     n_ok, theta, batch = 0, -np.inf, 8
     fellback = False
+    # θ = max over two RUNNING k-best pools of per-doc lower bounds:
+    # exact totals of probed docs, and PARTIAL sums (found-term
+    # contributions) of candidates — actual ≥ partial, each doc
+    # appears at most once per pool (candidates enter the partial
+    # pool once; probes enter the exact pool once), and the k-th best
+    # of either pool alone is a valid bar, so their max is too. In
+    # the saturated regime the true winners sit in BOTH terms'
+    # prefixes, so their partials push θ to near-final BEFORE any
+    # random access — this is what keeps the probe flood bounded.
+    pool_ex = np.empty(0)
+    pool_pt = np.empty(0)
+
+    def _add_pool(pool, vals):
+        nonlocal theta
+        if vals.size:
+            pool = np.concatenate([pool, vals])
+            if pool.size > k:
+                pool = np.partition(pool, -k)[-k:]
+        if pool.size >= k:
+            theta = max(theta, float(pool.min()))
+        return pool
     while True:
         T = float(np.sum([bound(t) for t in terms]))
         if n_ok >= k and theta - T > _TA_SLACK:
@@ -997,8 +1085,8 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
                 d = tb[t]
                 n_reg += _ensure_blocks(d, store[t],
                                         np.arange(d["ub"].size), k1, b, avgdl)
-                cat = store[t]["cat"]
-                if cat is not None and cat[0].size:
+                cat = _seg_lookup(store[t], np.arange(d["ub"].size))
+                if cat[0].size:
                     cands.append(cat[0])
                     # the full list is decoded now: promote it to the
                     # exact-lookup arrays, or the NRA bound (0 for
@@ -1027,6 +1115,8 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
         exact_c = {}
         found_c = {}
         opt = np.zeros(cand.size)
+        partial = np.zeros(cand.size)
+        matched_f = np.zeros(cand.size, dtype=np.int32)
         for t in terms:
             u = units[t]
             if u["ld"].size:
@@ -1038,12 +1128,21 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
                 hit = np.zeros(cand.size, dtype=bool)
                 ex = np.zeros(cand.size)
             exact_c[t], found_c[t] = ex, hit
+            partial += ex
+            matched_f += hit.astype(np.int32)
             nxt = float(u["ub"][u["order"][u["p"]]]) \
                 if u["p"] < u["order"].size else 0.0
             tail = max((x["ub"] for x in u["tails"].values()), default=0.0)
             bnf = max(nxt, tail)
             opt += np.where(hit, ex, bnf)
         scored = np.union1d(scored, cand)   # pruned stay pruned: θ only grows
+
+        # partials of THIS round's candidates immediately tighten θ.
+        # msm: a candidate's found-term count UNDERcounts its true
+        # matches, so found-qualified ⇒ qualified (monotone).
+        pool_pt = _add_pool(pool_pt, partial[matched_f >= msm_req]
+                            if msm_req else partial)
+
         # probe contenders in DESCENDING optimistic-bound order, in
         # small chunks with θ refreshed between chunks: the strongest
         # contenders (co-occurring docs) establish θ after ~k probes,
@@ -1074,9 +1173,7 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
                     # random access only for the not-found terms of
                     # surviving contenders — decode just the covering
                     # blocks; found terms already carry exact scores
-                    c2, h2, n_new = _probe_term(tb[t], store[t], nf,
-                                                k1, b, avgdl)
-                    n_reg += n_new
+                    c2, h2 = _ta_probe(t, nf)
                     contrib[~f] = c2
                     hit[~f] = h2
                 total += contrib
@@ -1085,13 +1182,8 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
             got_s.append(total)
             got_m.append(matched)
             n_ok += int((matched >= msm_req).sum()) if msm_req else keep.size
-            if n_ok >= k:
-                alls = np.concatenate(got_s)
-                if msm_req:
-                    pool = alls[np.concatenate(got_m) >= msm_req]
-                else:
-                    pool = alls
-                theta = np.partition(pool, -k)[-k]
+            pool_ex = _add_pool(pool_ex, total[matched >= msm_req]
+                                if msm_req else total)
 
     if stats is not None:
         stats["prefix_ta"] = True
