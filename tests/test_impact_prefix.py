@@ -59,8 +59,11 @@ PARAMS = IndexParams(n_buckets=4, bucket_batch=4, docs_per_shard=1024,
 
 #: big enough that head-term lists exceed the sweep's
 #: imminent-exhaustion guard, so the flat-bound regime actually bails
-#: into the prefix TA (the small corpus is for structural gates only)
+#: into the prefix TA (the small corpus is for structural gates only);
+#: docs_per_shard=4096 → 5 shards, so per-shard prefix chunks, tail
+#: floors, and the cross-shard impact-stream merge are all exercised
 BIG_PARAMS = IndexParams(n_buckets=4, bucket_batch=4,
+                         docs_per_shard=4096,
                          impact_prefix=1024, impact_min=256)
 
 
@@ -158,6 +161,40 @@ def test_rank_identity_all_paths(spark, big_prefix_index):
                      for d, s in li.topk(q, k=k, use_wand=False)]
             assert lazy == brute == spark_rows, (q, k)
     assert saw_prefix_ta, "the saturated corpus must exercise the prefix TA"
+
+
+def test_rank_identity_msm_and_paging(spark, big_prefix_index):
+    """MSM counting and offset paging through the prefix TA: the
+    partial-sum θ pool undercounts msm matches by design (found-term
+    counts only), which must stay conservative — gated against brute
+    and the Spark kernel."""
+    reader = IndexReader(spark, big_prefix_index)
+    li = LocalIndex(big_prefix_index)
+    for q in ["bob dylan", "bob dylan w0 w1", "bob w3 dylan w2 w9"]:
+        for k, off in [(10, 0), (10, 10), (25, 5)]:
+            spark_rows = [(r.docid, round(r.score, 9)) for r in
+                          bm25_topk_indexed(reader, q, k=k, offset=off,
+                                            min_should_match=True).collect()]
+            lazy = [(d, round(s, 9)) for d, s in
+                    li.topk(q, k=k, offset=off, min_should_match=True)]
+            brute = [(d, round(s, 9)) for d, s in
+                     li.topk(q, k=k, offset=off, min_should_match=True,
+                             use_wand=False)]
+            assert lazy == brute == spark_rows, (q, k, off)
+
+
+def test_warm_repeat_is_decode_free(big_prefix_index):
+    """A repeated query over the persistent store re-consumes the
+    memoized impact stream: zero chunk or block decodes, and the
+    absence-proof snapshot keeps random access at zero too."""
+    li = LocalIndex(big_prefix_index)
+    li.topk("bob dylan", k=10)
+    li.topk("bob dylan", k=10)   # resyncs ld with probe-decoded blocks
+    li.topk("bob dylan", k=10)
+    st = li.last_stats["bob dylan"]
+    assert st.get("prefix_ta"), st
+    assert st["blocks_decoded"] == 0, st
+    assert st.get("prefix_chunks_decoded", 0) == 0, st
 
 
 def test_cold_decode_is_bounded(big_prefix_index):
