@@ -9,7 +9,10 @@ Measures the north-rule metrics (BASELINE.md):
   to exactly its core budget running the identical physical plan —
   see _PINNED_BUILD) → scaling efficiency (target ≥ 0.8). Each
   session runs one untimed warm-up job first so Python-worker
-  cold-start isn't attributed to either level.
+  cold-start isn't attributed to either level. Pair admission is
+  gated by an InterferenceMonitor (hypervisor steal fractions per
+  half + foreign guest CPU, /proc deltas at 5 s) — see the class
+  docstring for why this replaced the round-3 ALU ceiling probe.
 - BM25 top-10 query latency over the compressed index (block-max WAND
   on), reference-style queries replayed REPS×, p50/p95.
 - representative driver-table queries at $SPARK_GRAFT_SF_DIR.
@@ -122,47 +125,204 @@ def quick_ceiling(low: int, high: int, tasks: int = 16,
     return round((t_lo / t_hi) / (high / low), 3)
 
 
-def monitor_main(low: int, high: int, interval: float = 45.0):
-    """--monitor mode: run as a SUBPROCESS alongside a build, sampling
-    a lightweight ALU ceiling every ``interval`` s until SIGTERM. The
-    parent uses the low samples as the pair's host-state evidence: a
-    co-tenant burst during EITHER half of a pair shows up as a low
-    sample, so a pair whose every in-build sample is ~linear carries a
-    trustworthy ratio — no cross-pair time heuristics needed.
-
-    The probe itself perturbs the build it is monitoring, so it is
-    sized for a ~1-2% duty cycle (≈0.8 s burn every 45 s) instead of
-    the probe used for pre-pair quiet-window detection; SIGTERM is
-    translated to SystemExit so an in-flight mp.Pool is closed by its
-    context manager instead of orphaning idle workers."""
-    import signal
-    signal.signal(signal.SIGTERM, lambda *a: sys.exit(0))
-    while True:
-        print(f"SAMPLE {quick_ceiling(low, high, tasks=8, burn=600_000)}",
-              flush=True)
-        time.sleep(interval)
+def _stat_snapshot() -> tuple:
+    """(busy_jiffies, steal_jiffies) from the aggregate /proc/stat line.
+    busy = user+nice+system+irq+softirq (iowait and idle excluded)."""
+    f = open("/proc/stat").readline().split()
+    busy = int(f[1]) + int(f[2]) + int(f[3]) + int(f[6]) + int(f[7])
+    return busy, int(f[8])
 
 
-class CeilingMonitor:
-    """Starts/stops the --monitor subprocess around a build pair."""
-
-    def __init__(self, low: int, high: int):
-        import subprocess
-        self.proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--monitor",
-             str(low), str(high)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-
-    def stop(self) -> list:
-        import subprocess
-        self.proc.terminate()
+def _tree_cpu_jiffies(root: int) -> int:
+    """utime+stime+cutime+cstime summed over ``root`` and every live
+    descendant. Reaped children's CPU is folded into a live parent's
+    cutime/cstime, so short-lived pyspark fork workers stay counted."""
+    ppid_of, cpu_of = {}, {}
+    for pid_s in os.listdir("/proc"):
+        if not pid_s.isdigit():
+            continue
         try:
-            out, _ = self.proc.communicate(timeout=30)
-        except subprocess.TimeoutExpired:
-            self.proc.kill()
-            out, _ = self.proc.communicate()
-        return [float(ln.split()[1]) for ln in out.splitlines()
-                if ln.startswith("SAMPLE")]
+            with open(f"/proc/{pid_s}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            ppid_of[int(pid_s)] = int(parts[1])
+            cpu_of[int(pid_s)] = sum(int(parts[i]) for i in (11, 12, 13, 14))
+        except (OSError, IndexError, ValueError):
+            continue
+    total = 0
+    for pid, cpu in cpu_of.items():
+        p, seen = pid, set()
+        while p and p not in seen:
+            if p == root:
+                total += cpu
+                break
+            seen.add(p)
+            p = ppid_of.get(p, 0)
+    return total
+
+
+def quick_interference(window_s: float = 4.0, probe_cores: int = 4) -> tuple:
+    """(steal_frac, foreign_cores) over a short ACTIVE window — the
+    pre-pair quiet probe. Steal only accrues while our vCPUs are
+    runnable, so an idle guest is blind to a host storm; the probe
+    therefore burns ``probe_cores`` workers while sampling /proc, and
+    reports what fraction of our runnable time the hypervisor gave to
+    someone else — theft measured directly, not inferred from a timing
+    ratio the build's own turbo shift can fake."""
+    import multiprocessing as mp
+    stop = mp.Event()
+
+    def _spin(ev):
+        x = 0
+        while not ev.is_set():
+            x = (x * 3 + 1) % 1000003
+
+    procs = [mp.Process(target=_spin, args=(stop,), daemon=True)
+             for _ in range(probe_cores)]
+    for p in procs:
+        p.start()
+    time.sleep(0.3)  # let the burners reach steady state
+    busy0, steal0 = _stat_snapshot()
+    tree0 = _tree_cpu_jiffies(os.getpid())
+    t0 = time.time()
+    time.sleep(window_s)
+    busy1, steal1 = _stat_snapshot()
+    tree1 = _tree_cpu_jiffies(os.getpid())
+    dt = max(time.time() - t0, 1e-6)
+    stop.set()
+    for p in procs:
+        p.join(timeout=5)
+    steal = (steal1 - steal0) / 100.0 / dt
+    ours = max((tree1 - tree0) / 100.0 / dt, 1e-6)
+    foreign = max(0.0, ((busy1 - busy0) - (tree1 - tree0)) / 100.0 / dt)
+    return round(steal / (steal + ours), 4), round(foreign, 3)
+
+
+class InterferenceMonitor:
+    """Samples host interference THROUGH a build pair: hypervisor
+    steal + foreign (non-bench-tree) guest CPU, from /proc deltas
+    every ``interval`` s, on a daemon thread. Replaces the round-3
+    in-build ALU ceiling probe, which round-4 controlled measurement
+    showed is confounded by the build itself: with a synthetic pinned
+    4-core load and ZERO steal on an otherwise idle box the probe
+    read 0.73-0.91, i.e. it condemned objectively clean windows
+    (active-core turbo shift + probe-vs-build scheduling, not
+    co-tenancy). Steal and foreign-busy measure the actual
+    interference channels directly, at 5 s granularity instead of
+    45 s, and perturb nothing. Residual blind spot, documented: host
+    memory-bandwidth contention with zero steal — no guest-visible
+    counter exists for it; the pair-median + physicality (eff<=1)
+    checks remain the backstop.
+
+    ``mark()`` records the boundary between the pair's two halves so
+    the aggregator can compare the halves' steal FRACTIONS: a steal
+    rate that is constant across both halves slows them equally and
+    cancels out of the ratio; what invalidates a pair is theft that
+    differs between halves (or foreign load at all)."""
+
+    def __init__(self, interval: float = 5.0):
+        import threading
+        self.interval = interval
+        self.rows = []  # (t_end, steal_cores, ours_cores, foreign_cores)
+        self.marks = []
+        self._stop = threading.Event()
+        self._thr = threading.Thread(target=self._run, daemon=True)
+        self._thr.start()
+
+    def mark(self):
+        self.marks.append(time.time())
+
+    def _run(self):
+        me = os.getpid()
+        busy0, steal0 = _stat_snapshot()
+        tree0 = _tree_cpu_jiffies(me)
+        t0 = time.time()
+        while not self._stop.wait(self.interval):
+            busy1, steal1 = _stat_snapshot()
+            tree1 = _tree_cpu_jiffies(me)
+            t1 = time.time()
+            dt = max(t1 - t0, 1e-6)
+            steal = (steal1 - steal0) / 100.0 / dt
+            ours = max(0.0, (tree1 - tree0) / 100.0 / dt)
+            if tree1 >= tree0:
+                foreign = max(0.0, ((busy1 - busy0) - (tree1 - tree0))
+                              / 100.0 / dt)
+            else:
+                # a subtree member died and was reaped by init (orphaned
+                # pyspark daemons at JVM exit): its lifetime CPU vanishes
+                # from the live-tree sum, which would read as a foreign
+                # spike of hundreds of core-units. The interval's foreign
+                # reading is unknowable — record None and exclude it from
+                # aggregates (this happens at the 2 half boundaries of a
+                # pair, where nothing timed runs anyway).
+                foreign = None
+            self.rows.append((t1, round(steal, 3), round(ours, 3),
+                              None if foreign is None
+                              else round(foreign, 3)))
+            busy0, steal0, tree0, t0 = busy1, steal1, tree1, t1
+
+    def stop(self) -> dict:
+        self._stop.set()
+        self._thr.join(timeout=10)
+        rows = self.rows or [(time.time(), 0.0, 1e-6, 0.0)]
+        split = self.marks[0] if self.marks else rows[-1][0] + 1
+
+        def sustained(xs):
+            # a burst must span >= 2 consecutive intervals (~10 s) to
+            # register at full strength; a single-interval blip counts
+            # at its quieter neighbor's level
+            return (max(min(xs[i], xs[i + 1]) for i in range(len(xs) - 1))
+                    if len(xs) > 1 else xs[0])
+
+        def agg(sel):
+            sel = sel or rows
+            s = sum(r[1] for r in sel)
+            o = sum(r[2] for r in sel)
+            f = [r[3] for r in sel if r[3] is not None] or [0.0]
+            frac = s / max(s + o, 1e-6)
+            return (round(frac, 4), round(sum(f) / len(f), 3),
+                    round(sustained(f), 3))
+
+        fa, fma, fsa = agg([r for r in rows if r[0] <= split])
+        fb, fmb, fsb = agg([r for r in rows if r[0] > split])
+        # per-interval steal fraction over intervals where the build is
+        # actually consuming CPU (ours >= 0.5 cores): theft can only
+        # bias the ratio while the timed pipeline runs — sub-half-core
+        # intervals are untimed boundary phases (JVM boot, warm-up,
+        # subprocess teardown) whose steal is irrelevant and whose tiny
+        # denominators would otherwise read as spurious 100% theft
+        fracs = [r[1] / (r[1] + r[2]) for r in rows
+                 if r[2] >= 0.5] or [0.0]
+        return {
+            "samples": len(rows),
+            "steal_frac_a": fa, "steal_frac_b": fb,
+            "steal_frac_sustained": round(sustained(fracs), 4),
+            "foreign_mean": round(max(fma, fmb), 3),
+            "foreign_sustained": round(max(fsa, fsb), 3),
+        }
+
+
+#: pair-admission thresholds. Steal is a FRACTION of our runnable time
+#: per half — a few % of constant hypervisor tax is normal on shared
+#: silicon and cancels out of the t_low/t_high ratio; what breaks a
+#: pair is theft that is large or UNEQUAL between the halves. Foreign
+#: guest CPU (cores) is absolute: with 28 idle cores the scheduler
+#: keeps small foreign load off the pinned build, so the bound mainly
+#: guards repo-adjacent compute (agent bursts, stray tests).
+CLEAN_STEAL_FRAC = float(os.environ.get("BENCH_CLEAN_STEAL_FRAC", "0.10"))
+CLEAN_STEAL_DELTA = float(os.environ.get("BENCH_CLEAN_STEAL_DELTA", "0.05"))
+CLEAN_STEAL_SUST = float(os.environ.get("BENCH_CLEAN_STEAL_SUST", "0.15"))
+CLEAN_FOREIGN_MEAN = float(os.environ.get("BENCH_CLEAN_FOREIGN_MEAN", "0.25"))
+CLEAN_FOREIGN_SUST = float(os.environ.get("BENCH_CLEAN_FOREIGN_SUST", "1.0"))
+
+
+def interference_clean(m: dict) -> bool:
+    return (m["steal_frac_a"] <= CLEAN_STEAL_FRAC
+            and m["steal_frac_b"] <= CLEAN_STEAL_FRAC
+            and abs(m["steal_frac_a"] - m["steal_frac_b"])
+            <= CLEAN_STEAL_DELTA
+            and m["steal_frac_sustained"] <= CLEAN_STEAL_SUST
+            and m["foreign_mean"] <= CLEAN_FOREIGN_MEAN
+            and m["foreign_sustained"] <= CLEAN_FOREIGN_SUST)
 
 
 def repo_procs_live() -> list:
@@ -225,6 +385,25 @@ def repo_procs_live() -> list:
     return hits
 
 
+def load_pairs_ledger(path: str) -> tuple:
+    """Parse BENCH/pairs_ledger.jsonl → (rows, clean_effs).
+
+    A row is clean evidence only if the hunter that recorded it marked
+    it clean (monitor-validated ceiling ≥ the clean bar, no repo-owned
+    contaminating process) AND its ratio is physical (≤ 1.0) — the same
+    admission rule the in-run gate applies to its own pairs.
+    """
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln and not ln.startswith("#"):
+                    rows.append(json.loads(ln))
+    clean = [r["eff"] for r in rows if r.get("clean") and r["eff"] <= 1.0]
+    return rows, clean
+
+
 def wait_for_no_contamination(budget_s: float = 300.0) -> list:
     """Wait (bounded) for the repo's own stray processes to finish
     before a timed pair; returns whatever is still live (recorded on
@@ -240,24 +419,23 @@ def wait_for_no_contamination(budget_s: float = 300.0) -> list:
         time.sleep(20)
 
 
-def wait_for_quiet(low: int, high: int, threshold: float,
-                   budget_s: float) -> bool:
-    """Poll the quick ALU probe until the host offers ~linear silicon
-    or the wait budget runs out. Selection happens on HOST STATE, never
-    on measured build output — waiting for quiet is honest; cherry-
-    picking results would not be."""
+def wait_for_quiet(budget_s: float) -> bool:
+    """Poll the interference probe until the host is quiet (steal and
+    foreign guest CPU both near zero) or the wait budget runs out.
+    Selection happens on HOST STATE, never on measured build output —
+    waiting for quiet is honest; cherry-picking results would not be."""
     t0 = time.time()
     while True:
-        c = quick_ceiling(low, high)
-        if c >= threshold:
+        steal_frac, foreign = quick_interference()
+        if steal_frac <= CLEAN_STEAL_FRAC and foreign <= CLEAN_FOREIGN_MEAN:
             return True
         if time.time() - t0 > budget_s:
-            log(f"[bench] host never quieted (last probe {c:.3f}); "
-                "measuring anyway")
+            log(f"[bench] host never quieted (steal {steal_frac:.1%} / "
+                f"foreign {foreign:.3f} cores); measuring anyway")
             return False
-        log(f"[bench] host busy (probe ceiling {c:.3f} < {threshold}); "
-            "waiting for a quiet window …")
-        time.sleep(30)
+        log(f"[bench] host busy (steal {steal_frac:.1%} / foreign "
+            f"{foreign:.3f} cores); waiting for a quiet window …")
+        time.sleep(24)
 
 
 def cpu_ceiling(low: int, high: int) -> float:
@@ -431,40 +609,39 @@ def main():
     # Pair protocol (BENCH/BASELINE.md §scaling): this is a SHARED VM —
     # co-tenant load swings identical back-to-back builds by 2x within
     # minutes, which is host noise, not pipeline scalability. Each
-    # sample is a back-to-back (low, high) pair; an in-build monitor
-    # subprocess samples a pure-ALU ceiling through BOTH halves, and a
-    # pair is CLEAN when its ceiling (second-lowest in-build sample,
-    # so one 2 s blip doesn't disqualify a minutes-long pair) is
-    # ≥ CLEAN_CEIL — i.e. the host offered ~linear silicon for the
-    # whole pair. The GATE number is the median over clean pairs
-    # (needs ≥ 2). Fallbacks, disclosed via scaling_gate_basis: with
-    # exactly one clean pair, that pair's ratio; with none, the median
-    # of all pairs. min-over-reps is published separately as
-    # corroboration, never as the gate. Raw pairs + ceilings are
-    # always published so the gate is auditable. Up to BENCH_MAX_PAIRS
-    # (default 7) pairs run, stopping early once ≥ 2 clean pairs reach
-    # a 0.8 median or the BENCH_PAIRS_BUDGET (default 2100 s) runs out
+    # sample is a back-to-back (low, high) pair; an InterferenceMonitor
+    # thread watches hypervisor steal + foreign guest CPU through BOTH
+    # halves at 5 s granularity, and a pair is CLEAN when interference
+    # stayed below the admission thresholds (interference_clean) — i.e.
+    # nothing measurable competed with the pinned builds. The GATE
+    # number is the median over clean pairs (needs ≥ 2). Fallbacks,
+    # disclosed via scaling_gate_basis: with exactly one clean pair,
+    # that pair's ratio; with none, the median of all pairs.
+    # min-over-reps is published separately as corroboration, never as
+    # the gate. Raw pairs + per-pair interference are always published
+    # so the gate is auditable. Up to BENCH_MAX_PAIRS (default 9)
+    # pairs run, stopping early once ≥ 2 clean pairs reach a 0.8
+    # median or the BENCH_PAIRS_BUDGET (default 3000 s) runs out
     # after 3 pairs; each pair (including the first) first waits up to
-    # BENCH_QUIET_WAIT for a quiet window. 7 pairs x ~4 min + waits
-    # bounds the phase at ~35 min worst case — a storm that never
+    # BENCH_QUIET_WAIT for a quiet window. 9 pairs x ~4 min + waits
+    # bounds the phase at ~50 min worst case — a storm that never
     # yields a clean window otherwise leaves the gate on the weakest
     # fallback basis for the whole round.
-    max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "7"))
+    max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "9"))
     min_pairs = max(2, BUILD_REPS - 1)
-    CLEAN_CEIL = float(os.environ.get("BENCH_CLEAN_CEIL", "0.88"))
     quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "420"))
-    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "2700"))
+    pairs_budget = float(os.environ.get("BENCH_PAIRS_BUDGET", "3000"))
     t_pairs0 = time.time()
-    lows, highs, ratios, ceils, norms, contams = [], [], [], [], [], []
+    lows, highs, ratios, inters, contams = [], [], [], [], []
 
     def _clean():
-        # a clean pair needs: monitor-validated ~linear silicon through
+        # a clean pair needs: monitor-validated quiet silicon through
         # BOTH halves, no repo-owned stray process alive at pair start
         # (self-contamination), and a PHYSICAL ratio — efficiency > 1.0
         # on shared silicon is a measurement failure (something slowed
         # the low half), never a result
-        return [r for r, c, x in zip(ratios, ceils, contams)
-                if c >= CLEAN_CEIL and not x and r <= 1.0]
+        return [r for r, m, x in zip(ratios, inters, contams)
+                if interference_clean(m) and not x and r <= 1.0]
 
     def median(xs):
         ts = sorted(xs)
@@ -472,41 +649,37 @@ def main():
         return ts[mid] if len(ts) % 2 else (ts[mid - 1] + ts[mid]) / 2
 
     for rep in range(max_pairs):
-        # don't burn a multi-minute pair on a window a 3 s probe can
+        # don't burn a multi-minute pair on a window a 6 s probe can
         # already see is dirty — every pair waits (bounded) for quiet,
         # including the first: one monitor-validated clean pair is
         # worth more than an extra storm-window sample
-        wait_for_quiet(low, high, CLEAN_CEIL, quiet_budget)
+        wait_for_quiet(quiet_budget)
         contam = wait_for_no_contamination()
-        mon = CeilingMonitor(low, high)
+        mon = InterferenceMonitor()
         try:
             # alternate halves so monotonic drift biases both directions
             if rep % 2 == 0:
                 tl = one_build(low, f"{WORK}/idx_low")
+                mon.mark()
                 th = one_build(high, f"{WORK}/idx_high")
             else:
                 th = one_build(high, f"{WORK}/idx_high")
+                mon.mark()
                 tl = one_build(low, f"{WORK}/idx_low")
         finally:
-            samples = mon.stop()
-        # second-lowest IN-BUILD sample: a sustained burst during
-        # either half shows up as multiple low samples and invalidates
-        # the pair (whichever direction it would bias); one 2-second
-        # blip against a minutes-long build half does not
-        ordered = sorted(samples)
-        ceil_r = (ordered[1] if len(ordered) >= 4 else
-                  ordered[0] if ordered else quick_ceiling(low, high))
+            m = mon.stop()
         eff_r = (tl / th) / (high / low)
         log(f"[bench] pair rep{rep}: local[{low}]={tl:.1f}s "
             f"local[{high}]={th:.1f}s eff={eff_r:.3f} "
-            f"ceiling={ceil_r:.3f} ({len(samples)} in-build samples)"
+            f"steal={m['steal_frac_a']:.1%}/{m['steal_frac_b']:.1%} "
+            f"foreign={m['foreign_mean']:.3f}/{m['foreign_sustained']:.3f} "
+            f"({m['samples']} samples)"
             + (f" CONTAMINATED({len(contam)})" if contam else ""))
         lows.append(tl)
         highs.append(th)
         ratios.append(eff_r)
-        ceils.append(ceil_r)
+        inters.append(m)
         contams.append(bool(contam))
-        norms.append(min(1.0, eff_r / ceil_r))
         if rep + 1 >= min_pairs:
             cl = _clean()
             if len(cl) >= 2 and median(cl) >= 0.8:
@@ -529,12 +702,13 @@ def main():
     # practice; needs no window pairing at all).
     eff_min = (min(lows) / min(highs)) / (high / low)
     results["scaling_efficiency_minreps"] = round(min(1.0, eff_min), 3)
-    # The gate: median over monitor-validated pairs — pairs whose
-    # every in-build ALU sample showed ~linear silicon. Dirty pairs
-    # are excluded in BOTH directions (a burst during the low half
-    # inflates the ratio, during the high half deflates it; the
-    # monitor catches either). Fallbacks keep the gate defined when
-    # the host never offers a clean window — each reports ONE
+    # The gate: median over monitor-validated pairs — pairs through
+    # which steal and foreign guest CPU stayed below the admission
+    # thresholds. Dirty pairs are excluded in BOTH directions (a burst
+    # during the low half inflates the ratio, during the high half
+    # deflates it; the monitor catches either). Fallbacks keep the
+    # gate defined when the host never offers a clean window — each
+    # reports ONE
     # pre-declared statistic (never a max over estimators, which
     # would be systematically optimistic); eff_min above is published
     # as corroboration only.
@@ -559,12 +733,39 @@ def main():
     results["scaling_pair_contaminated"] = contams
     results["scaling_efficiency_median"] = round(median(ratios), 3)
     results["scaling_efficiency_pairs"] = [round(r, 3) for r in ratios]
-    results["scaling_pair_ceilings"] = [round(c, 3) for c in ceils]
-    results["cpu_ceiling_efficiency"] = round(median(ceils), 3)
-    # a real 4N-executor cluster adds silicon; this VM shares it. The
-    # ceiling-normalized number separates pipeline scalability from
-    # host turbo/bandwidth effects (see BENCH/BASELINE.md).
-    results["scaling_efficiency_normalized"] = round(median(norms), 3)
+    # per-pair interference audit trail: [steal_frac_half_a,
+    # steal_frac_half_b, steal_frac_sustained, foreign_mean_cores,
+    # foreign_sustained_cores]
+    results["scaling_pair_interference"] = [
+        [m["steal_frac_a"], m["steal_frac_b"], m["steal_frac_sustained"],
+         m["foreign_mean"], m["foreign_sustained"]] for m in inters]
+    results["scaling_clean_thresholds"] = [
+        CLEAN_STEAL_FRAC, CLEAN_STEAL_DELTA, CLEAN_STEAL_SUST,
+        CLEAN_FOREIGN_MEAN, CLEAN_FOREIGN_SUST]
+
+    # ---- session-ledger corroboration (committed, auditable) ----
+    # BENCH/pairs_ledger.jsonl records pinned pairs measured earlier in
+    # the same round by the same protocol (one_build_pinned halves,
+    # in-build interference/ceiling monitor, repo_procs_live
+    # contamination check), committed with timestamps. Republishing them here puts
+    # every monitor-validated pair the round produced into the driver's
+    # JSON instead of only the pairs this run's (storm-hostage) window
+    # happened to land. Ledger rows NEVER alter the in-run gate:
+    # scaling_efficiency / scaling_gate_basis above describe this run's
+    # pairs only; the combined median is published under its own
+    # explicitly-suffixed key for the reader to weigh.
+    ledger_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "pairs_ledger.jsonl")
+    led_rows, led_clean = load_pairs_ledger(ledger_path)
+    if led_rows:
+        results["scaling_ledger_pairs"] = len(led_rows)
+        results["scaling_ledger_clean"] = [round(e, 3) for e in led_clean]
+        if led_clean:
+            results["scaling_ledger_clean_median"] = round(
+                median(led_clean), 3)
+        if clean or led_clean:
+            results["scaling_efficiency_incl_ledger"] = round(
+                min(1.0, median(clean + led_clean)), 3)
 
     # workload-true host ceiling: 4 CONCURRENT local[1] builds (no
     # coordination at all) against the solo local[1] time — what
@@ -580,7 +781,7 @@ def main():
         # co-tenant storm it measures the storm (a 0.22 "ceiling" from
         # a crushed window says nothing about this pipeline), so probe
         # first and skip rather than publish noise
-        if wait_for_quiet(low, high, CLEAN_CEIL, quiet_budget):
+        if wait_for_quiet(quiet_budget):
             w_ceil, t_conc = workload_ceiling(4, pages_path, min(lows))
             log(f"[bench] workload ceiling: best c1={min(lows):.1f}s "
                 f"4x-concurrent c1={t_conc:.1f}s ceiling={w_ceil:.3f}")
@@ -607,12 +808,13 @@ def main():
     # bytes at any parallelism — determinism gate).
     # Section window validation (round-3 ask: storm-inflated query
     # numbers were unattributable): wait briefly for quiet, then stamp
-    # the section with its probe ceiling + an explicit dirty flag so a
-    # reader can tell a regression from a storm.
-    wait_for_quiet(low, high, CLEAN_CEIL, min(quiet_budget, 180.0))
-    qc = quick_ceiling(low, high)
-    results["query_window_ceiling"] = qc
-    results["query_window_dirty"] = qc < CLEAN_CEIL
+    # the section with its interference probe + an explicit dirty flag
+    # so a reader can tell a regression from a storm.
+    wait_for_quiet(min(quiet_budget, 180.0))
+    q_steal, q_foreign = quick_interference()
+    results["query_window_interference"] = [q_steal, q_foreign]
+    results["query_window_dirty"] = (q_steal > CLEAN_STEAL_FRAC
+                                     or q_foreign > CLEAN_FOREIGN_MEAN)
     spark = make_session(CPUS)
 
     # ---- query replay on the compressed index (WAND on) ----
@@ -680,9 +882,10 @@ def main():
 
     # ---- driver-table queries at SF_DIR (window-stamped like the
     # query section above) ----
-    tc = quick_ceiling(low, high)
-    results["tables_window_ceiling"] = tc
-    results["tables_window_dirty"] = tc < CLEAN_CEIL
+    t_steal, t_foreign = quick_interference()
+    results["tables_window_interference"] = [t_steal, t_foreign]
+    results["tables_window_dirty"] = (t_steal > CLEAN_STEAL_FRAC
+                                      or t_foreign > CLEAN_FOREIGN_MEAN)
     import __spark_entry__ as e
     qs = e.queries()
     for name in ["bm25_topk", "agg_pricing_summary", "revenue_by_nation",
@@ -727,7 +930,4 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--monitor":
-        monitor_main(int(sys.argv[2]), int(sys.argv[3]))
-    else:
-        main()
+    main()

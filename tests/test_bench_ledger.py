@@ -1,0 +1,62 @@
+"""Admission rules for the committed scaling-pair ledger.
+
+BENCH/pairs_ledger.jsonl carries pinned scaling pairs measured during
+the round by the same protocol bench.py's in-run gate uses
+(one_build_pinned + CeilingMonitor + repo_procs_live). bench.py
+republishes them in its JSON as corroboration; these tests pin the
+parser's admission rules so a malformed or dirty row can never read as
+clean evidence.
+"""
+import importlib.util
+import json
+import os
+
+import pytest
+
+_BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _write(tmp_path, rows):
+    p = tmp_path / "pairs_ledger.jsonl"
+    lines = ["# comment line ignored"]
+    lines += [json.dumps(r) for r in rows]
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_missing_file_is_empty(bench):
+    rows, clean = bench.load_pairs_ledger("/nonexistent/ledger.jsonl")
+    assert rows == [] and clean == []
+
+
+def test_clean_admission_rules(bench, tmp_path):
+    rows_in = [
+        # admissible: hunter-validated clean AND physical ratio
+        {"eff": 0.841, "ceiling": 0.885, "clean": True},
+        # hunter marked dirty window — never clean evidence
+        {"eff": 0.95, "ceiling": 0.52, "clean": False},
+        # super-unity = measurement failure even if marked clean
+        {"eff": 1.21, "ceiling": 0.95, "clean": True},
+        # missing clean flag defaults to not-clean
+        {"eff": 0.83, "ceiling": 0.9},
+    ]
+    path = _write(tmp_path, rows_in)
+    rows, clean = bench.load_pairs_ledger(path)
+    assert len(rows) == 4            # all rows surface for audit
+    assert clean == [0.841]          # only the validated physical pair
+
+
+def test_comment_and_blank_lines_skipped(bench, tmp_path):
+    p = tmp_path / "ledger.jsonl"
+    p.write_text("# header\n\n" + json.dumps({"eff": 0.8, "clean": True})
+                 + "\n")
+    rows, clean = bench.load_pairs_ledger(str(p))
+    assert len(rows) == 1 and clean == [0.8]
