@@ -41,6 +41,10 @@ _MAGIC = [
 def sniff_kind(data: bytes | None) -> str:
     if not data:
         return "unknown"
+    # RIFF is a container family: the form type at bytes 8..12 decides
+    # (WEBP → image, everything else keeps the wav default)
+    if data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+        return "image/webp"
     for magic, kind in _MAGIC:
         if data.startswith(magic):
             return kind
@@ -50,7 +54,7 @@ def sniff_kind(data: bytes | None) -> str:
 def available_decoder() -> str:
     """Import probe for a real image decoder: 'pil' when Pillow is
     importable, else 'headers' (stdlib-only container header parse —
-    true width/height for PNG/GIF/JPEG, everything else stub-derived).
+    true width/height for PNG/GIF/JPEG/WebP, everything else stub-derived).
     Run inside the Arrow UDF too (executors probe their own
     environment), so the component upgrades itself the day the
     deployment gains the library — no code change."""
@@ -65,7 +69,7 @@ def parse_image_dims(data: bytes) -> tuple[int, int] | None:
     """True (width, height) from image container headers, stdlib-only
     (round-3 verdict ask #8 — the reference's scorer reads real
     dimensions, image/cmd/images.go:153-188; in a container with no
-    Pillow these three formats' headers are trivially parseable):
+    Pillow these four formats' headers are trivially parseable):
 
     - PNG: IHDR is mandated to be the first chunk — width/height are
       the two big-endian u32 at bytes 16..24 (public PNG spec §11.2.2).
@@ -74,6 +78,12 @@ def parse_image_dims(data: bytes) -> tuple[int, int] | None:
     - JPEG: scan markers for a start-of-frame (SOF0-15 minus
       DHT/DAC/RST): height/width are big-endian u16 at offsets 5/7 of
       the segment payload (JPEG ITU-T.81 §B.2.2).
+    - WebP: RIFF form 'WEBP', first chunk tag decides (public WebP
+      container + VP8/VP8L bitstream specs): 'VP8X' carries the
+      24-bit LE canvas size minus one; 'VP8 ' (lossy) has the
+      0x9d012a start code then 14-bit LE width/height; 'VP8L'
+      (lossless) packs two 14-bit fields minus one after the 0x2f
+      signature byte.
 
     Returns None when the payload is not one of these formats or its
     header is malformed/truncated (callers fall back to the stub)."""
@@ -111,12 +121,32 @@ def parse_image_dims(data: bytes) -> tuple[int, int] | None:
                 return (w, h) if w and h else None
             i += 2 + seg_len
         return None
+    if len(data) >= 30 and data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+        tag = data[12:16]
+        if tag == b"VP8X":
+            w = 1 + int.from_bytes(data[24:27], "little")
+            h = 1 + int.from_bytes(data[27:30], "little")
+            return (w, h)
+        if tag == b"VP8 ":
+            if data[23:26] != b"\x9d\x01\x2a":
+                return None
+            w = int.from_bytes(data[26:28], "little") & 0x3FFF
+            h = int.from_bytes(data[28:30], "little") & 0x3FFF
+            return (w, h) if w and h else None
+        if tag == b"VP8L":
+            if data[20] != 0x2F:
+                return None
+            bits = int.from_bytes(data[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return (w, h)
+        return None
     return None
 
 
 def _headers_decode(data: bytes, feature_dim: int = 8):
     """Stdlib decode: TRUE dimensions from the container header for
-    PNG/GIF/JPEG; every other field (feature sketch, nsfw score,
+    PNG/GIF/JPEG/WebP; every other field (feature sketch, nsfw score,
     n_frames, non-image kinds) keeps the deterministic stub semantics.
     Malformed image headers fall back to the stub entirely — same
     skip-on-error shape as the reference (images.go:162-171)."""

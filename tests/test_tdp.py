@@ -350,6 +350,29 @@ def test_parse_image_dims_stdlib():
     jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
     assert multimodal.parse_image_dims(jpeg) == (99, 77)
 
+    # WebP, all three chunk layouts (container + VP8/VP8L specs)
+    def riff(tag, body):
+        payload = tag + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+    vp8x = riff(b"VP8X", b"\x00" * 4
+                + (639).to_bytes(3, "little") + (479).to_bytes(3, "little"))
+    assert multimodal.parse_image_dims(vp8x) == (640, 480)
+    assert multimodal.sniff_kind(vp8x) == "image/webp"
+
+    vp8 = riff(b"VP8 ", b"\x00" * 3 + b"\x9d\x01\x2a"
+               + struct.pack("<HH", 320, 240) + b"\x00" * 4)
+    assert multimodal.parse_image_dims(vp8) == (320, 240)
+
+    bits = (199) | (149 << 14)  # 200x150 stored minus one
+    vp8l = riff(b"VP8L", b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8)
+    assert multimodal.parse_image_dims(vp8l) == (200, 150)
+
+    # RIFF that is NOT WebP keeps the wav default; bad VP8 start code
+    assert multimodal.sniff_kind(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "audio/wav"
+    bad = riff(b"VP8 ", b"\x00" * 3 + b"\xff\xff\xff" + b"\x00" * 8)
+    assert multimodal.parse_image_dims(bad) is None
+
     # malformed: PNG magic but no IHDR; truncated GIF; junk
     assert multimodal.parse_image_dims(b"\x89PNG\r\n\x1a\n" + b"x" * 64) is None
     assert multimodal.parse_image_dims(b"GIF89a\x01") is None
