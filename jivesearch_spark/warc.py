@@ -1,0 +1,233 @@
+"""Common-Crawl-style WARC ingestion (stdlib-only parser).
+
+The reference fetches live HTML with its own crawler
+(/root/reference/search/crawler/crawler.go:243-331) and hands the
+bytes to the document extractor. At 100 TB training-data scale the
+same pages arrive as Common Crawl WARC segments; ``read_warc`` turns a
+directory of ``.warc`` / ``.warc.gz`` files into the
+``pages(url, warc_ts, html, text, lang)`` table of BASELINE.json's
+``input_hint`` — the identical shape ``corpus.pages_df`` synthesizes —
+so the whole extract → index pipeline runs unchanged on real crawl
+archives.
+
+Scale shape: Common Crawl WARCs are per-RECORD gzip members
+concatenated into ~1 GB files, deliberately not splittable mid-file —
+the standard access pattern is one file per task, which is exactly
+what ``binaryFile`` gives us. Parsing is a narrow Arrow map (no
+shuffle); records stream out in bounded batches. Memory is bounded by
+the file size (binaryFile materializes one file per row — at CC's 1 GB
+segment size that is the intended task granularity; cap input file
+size upstream, not here).
+
+Format notes (public ISO 28500 / WARC 1.0-1.1 spec):
+- record = version line ``WARC/1.x``, CRLF header lines, blank line,
+  ``Content-Length`` payload bytes, then CRLF CRLF separator;
+- ``response`` records wrap a full HTTP response — status line +
+  headers + CRLF CRLF + body; the body is the page HTML;
+- ``resource`` records carry the payload directly (no HTTP envelope);
+- gzipped archives are one gzip MEMBER per record (multi-member
+  stream), decodable with a zlib loop over ``unused_data``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+import zlib
+
+from pyspark.sql import DataFrame
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+_KEEP_TYPES = ("response", "resource")
+
+
+def iter_gzip_members(buf: bytes):
+    """Yield the decompressed bytes of each gzip member in a
+    multi-member stream (Common Crawl's one-member-per-record layout).
+    Stops at the first undecodable trailing garbage rather than
+    raising — truncated tail records are skipped, matching the
+    crawler's skip-on-error shape (crawler.go:311-322)."""
+    pos = 0
+    n = len(buf)
+    while pos < n and buf[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=47)  # 32+15: gzip header auto
+        try:
+            out = d.decompress(buf[pos:])
+            out += d.flush()
+        except zlib.error:
+            return
+        yield out
+        rest = d.unused_data
+        if not rest:
+            return
+        pos = n - len(rest)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """WARC/HTTP header block → lowercase-keyed dict (field names are
+    case-insensitive per spec; values keep their bytes, latin-1 so the
+    mapping never raises on stray high bytes)."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n")[1:]:
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            headers[k.strip().lower().decode("latin-1")] = (
+                v.strip().decode("latin-1"))
+    return headers
+
+
+def iter_warc_records(raw: bytes):
+    """Yield (warc_headers, payload_bytes) per record in a plain
+    (non-gzip) WARC buffer. Malformed framing ends iteration instead
+    of raising — a torn tail record must not fail the whole segment."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while pos < n and raw[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if not raw[pos:pos + 5].startswith(b"WARC/"):
+            return
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            return
+        headers = _parse_headers(raw[pos:hdr_end])
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            return  # truncated record
+        yield headers, raw[body_start:body_start + clen]
+        pos = body_start + clen
+
+
+def split_http_payload(body: bytes) -> tuple[int | None, bytes]:
+    """response-record body → (http_status, entity bytes). Bodies that
+    are not an HTTP message (resource records, torn envelopes) pass
+    through with status None."""
+    if not body.startswith(b"HTTP/"):
+        return None, body
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        return None, body
+    status_line = body[:body.find(b"\r\n")].split(b" ")
+    try:
+        status = int(status_line[1])
+    except (IndexError, ValueError):
+        status = None
+    return status, body[sep + 4:]
+
+
+def parse_warc_date(s: str) -> dt.datetime | None:
+    """WARC-Date is ISO 8601 UTC (``2017-03-22T17:36:44Z``); returns a
+    NAIVE UTC datetime to match the synthetic corpus' warc_ts column
+    (Spark TimestampType, session-TZ-free comparisons in tests)."""
+    try:
+        d = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    return d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+
+
+def records_from_bytes(content: bytes):
+    """All (headers, payload) records of one WARC file, gzip or plain."""
+    if content[:2] == b"\x1f\x8b":
+        for member in iter_gzip_members(content):
+            yield from iter_warc_records(member)
+    else:
+        yield from iter_warc_records(content)
+
+
+def pages_from_warc_bytes(content: bytes, keep_non_ok: bool = False):
+    """One WARC file's bytes → page tuples (url, warc_ts, html, None,
+    None). Only ``response``/``resource`` records with a target URI
+    survive; non-2xx responses are dropped unless ``keep_non_ok`` (the
+    reference crawler only feeds 2xx bodies to the extractor,
+    crawler.go:287-309)."""
+    out = []
+    for headers, body in records_from_bytes(content):
+        if headers.get("warc-type") not in _KEEP_TYPES:
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        status, payload = split_http_payload(body)
+        if status is not None and not keep_non_ok and not (
+                200 <= status < 300):
+            continue
+        ts = parse_warc_date(headers.get("warc-date", ""))
+        out.append((url.strip("<>"), ts, payload, None, None))
+    return out
+
+
+def read_warc(spark, path: str, keep_non_ok: bool = False,
+              batch_records: int = 256) -> DataFrame:
+    """Directory/glob of ``.warc``/``.warc.gz`` files → pages
+    DataFrame in the input_hint shape.
+
+    ``binaryFile`` assigns whole files to tasks (WARC gzip members are
+    not block-splittable, and one ~1 GB segment per task is Common
+    Crawl's own recommended unit of work); record parsing is a narrow
+    ``mapInPandas`` — no shuffle, and downstream extraction runs in
+    the same stage. Output batches are capped at ``batch_records``
+    rows so the Arrow transfer stays bounded even for segments with
+    very large pages.
+    """
+    import pandas as pd
+
+    from .session import ensure_shipped
+    ensure_shipped(spark)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def _parse(batches):
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for pdf in batches:
+            for content in pdf["content"]:
+                rows = pages_from_warc_bytes(bytes(content), keep_non_ok)
+                for i in range(0, len(rows), batch_records):
+                    yield pd.DataFrame(rows[i:i + batch_records],
+                                       columns=cols)
+
+    return files.mapInPandas(_parse, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Writer (tests + export): deterministic bytes so round-trip identity
+# is assertable; per-record gzip exactly like Common Crawl segments.
+# ---------------------------------------------------------------------------
+
+def _warc_record(url: str, ts: dt.datetime, html: bytes,
+                 status: int = 200) -> bytes:
+    http = (f"HTTP/1.1 {status} OK\r\n"
+            "Content-Type: text/html; charset=UTF-8\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n").encode("ascii") + html
+    ts_s = ts.replace(microsecond=0).isoformat() + "Z"
+    hdr = ("WARC/1.0\r\n"
+           "WARC-Type: response\r\n"
+           f"WARC-Target-URI: {url}\r\n"
+           f"WARC-Date: {ts_s}\r\n"
+           "Content-Type: application/http; msgtype=response\r\n"
+           f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
+    return hdr + http + b"\r\n\r\n"
+
+
+def warc_bytes(rows, per_record_gzip: bool = True) -> bytes:
+    """(url, warc_ts, html) tuples → one WARC file's bytes.
+    ``per_record_gzip`` emits the Common Crawl layout (one gzip member
+    per record); mtime is pinned to 0 so output is byte-deterministic."""
+    parts = []
+    for url, ts, html in rows:
+        rec = _warc_record(url, ts, bytes(html))
+        if per_record_gzip:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                gz.write(rec)
+            rec = buf.getvalue()
+        parts.append(rec)
+    return b"".join(parts)
