@@ -178,12 +178,40 @@ def read_warc(spark, path: str, keep_non_ok: bool = False,
     rows so the Arrow transfer stays bounded even for segments with
     very large pages.
     """
-    import pandas as pd
-
     from .session import ensure_shipped
     ensure_shipped(spark)
 
     files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(_parse_files_fn(keep_non_ok, batch_records),
+                             schema=PAGES_SCHEMA)
+
+
+def stream_warc(spark, path: str, keep_non_ok: bool = False,
+                batch_records: int = 256,
+                max_files_per_trigger: int = 4) -> DataFrame:
+    """Streaming twin of ``read_warc``: ``readStream`` over a WARC
+    drop-directory, one segment file per arriving crawl archive — the
+    continuous-ingest shape (§2.9). Feed the result to
+    ``streaming.deduped_pages_stream`` / ``run_incremental_index``
+    exactly like a parquet pages stream; each micro-batch is bounded
+    by ``maxFilesPerTrigger`` whole segments."""
+    from .session import ensure_shipped
+    ensure_shipped(spark)
+
+    files = (spark.readStream.format("binaryFile")
+             # streaming sources require the schema up front; this is
+             # binaryFile's fixed four-column shape
+             .schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
+             .option("maxFilesPerTrigger", max_files_per_trigger)
+             .option("pathGlobFilter", "*.warc*")
+             .load(path).select("content"))
+    return files.mapInPandas(_parse_files_fn(keep_non_ok, batch_records),
+                             schema=PAGES_SCHEMA)
+
+
+def _parse_files_fn(keep_non_ok: bool, batch_records: int):
+    import pandas as pd
 
     def _parse(batches):
         cols = ["url", "warc_ts", "html", "text", "lang"]
@@ -194,7 +222,7 @@ def read_warc(spark, path: str, keep_non_ok: bool = False,
                     yield pd.DataFrame(rows[i:i + batch_records],
                                        columns=cols)
 
-    return files.mapInPandas(_parse, schema=PAGES_SCHEMA)
+    return _parse
 
 
 # ---------------------------------------------------------------------------

@@ -98,3 +98,27 @@ def test_read_warc_to_extract_golden(spark, tmp_path):
     mismatches = [u for u, (_, _, t) in golden.items()
                   if ext.get(gourl.validate_url(u).string()) != t]
     assert mismatches == []
+
+
+def test_stream_warc_micro_batches(spark, tmp_path):
+    """stream_warc: the drop-dir streaming shape — all records of the
+    arriving segments land exactly once, same schema as the batch
+    reader."""
+    rows = _pages(30, seed=13)
+    d = tmp_path / "drop"
+    os.makedirs(d)
+    for i in range(3):
+        part = rows[i * 10:(i + 1) * 10]
+        (d / f"seg-{i}.warc.gz").write_bytes(
+            warc.warc_bytes([(u, ts, h) for u, ts, h, _, _ in part]))
+
+    stream = warc.stream_warc(spark, str(d), max_files_per_trigger=2)
+    assert stream.isStreaming
+    out = (stream.writeStream.format("memory").queryName("warc_sink")
+           .option("checkpointLocation", str(tmp_path / "ckpt"))
+           .trigger(availableNow=True).start())
+    out.awaitTermination(120)
+    got = spark.sql("SELECT url, html FROM warc_sink").collect()
+    assert len(got) == len(rows)
+    golden = {u: h for u, _, h, _, _ in rows}
+    assert all(bytes(r["html"]) == golden[r["url"]] for r in got)
