@@ -993,10 +993,22 @@ def q_extract_pages(spark, sf_dir):
     parsing HTML — corpus.py:77-89), so this checks the HTML-parse
     path against an independent derivation: text via md5, domain
     re-derived in SQL from the url string, stub = the noindex/
-    non-canonical projection (crawler.go:311-322)."""
-    from jivesearch_spark import corpus
+    non-canonical projection (crawler.go:311-322).
+
+    Round 4: the pages now ARRIVE through the WARC source — the same
+    200 rows serialized into 4 Common-Crawl-layout segments
+    (per-record gzip members) and re-parsed by the stdlib WARC record
+    parser inside the same Spark stage — so this entry gates ingest
+    (S1) + extraction together; the oracle is unchanged because the
+    round-trip is byte-exact (tests/test_warc.py)."""
+    from jivesearch_spark import corpus, warc
     from jivesearch_spark.extract import extract_pages_df
-    pages = corpus.pages_df(spark, 200, partitions=4)
+    rows = [corpus.gen_page(i) for i in range(200)]
+    blobs = [(bytearray(warc.warc_bytes(
+        [(u, ts, h) for u, ts, h, _, _ in rows[j::4]])),) for j in range(4)]
+    bin_df = spark.createDataFrame(blobs, "content binary").repartition(4)
+    pages = bin_df.mapInPandas(warc._parse_files_fn(False, 256),
+                               schema=warc.PAGES_SCHEMA)
     ex = extract_pages_df(pages).where(F.col("valid"))
     return ex.select(
         "url", "domain", "lang",
