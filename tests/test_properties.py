@@ -131,3 +131,39 @@ def test_validate_url_idempotent(scheme, host, path):
     except gourl.URLError:
         assume(False)
     assert gourl.validate_url(once).string() == once
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=300, deadline=None)
+def test_warc_parser_never_raises(blob):
+    """Arbitrary bytes through the WARC record parser: skip, never
+    throw (a torn segment must not fail a 1000-task ingest job)."""
+    from jivesearch_spark import warc
+    rows = warc.pages_from_warc_bytes(blob)
+    assert isinstance(rows, list)
+    rows = warc.pages_from_warc_bytes(b"\x1f\x8b" + blob)
+    assert isinstance(rows, list)
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6), st.binary(max_size=300)),
+                min_size=1, max_size=8),
+       st.booleans(), st.binary(max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_warc_roundtrip_with_trailing_garbage(pages, gz, tail):
+    """Round-trip identity holds for arbitrary html bytes and survives
+    trailing garbage after the last record."""
+    import datetime as dt
+
+    from jivesearch_spark import warc
+    rows = [(f"http://ex{i}.com/p{j}", dt.datetime(2026, 1, 1 + j % 27), h)
+            for j, (i, h) in enumerate(pages)]
+    blob = warc.warc_bytes(rows, per_record_gzip=gz)
+    got = warc.pages_from_warc_bytes(blob + tail)
+    # plain-format parsing stops at the first garbage byte; gzip-member
+    # parsing ignores a non-gzip tail entirely — either way every
+    # intact record already emitted survives byte-exact
+    assert len(got) <= len(rows)
+    if gz or not tail:
+        assert len(got) == len(rows)
+    for (u, ts, h), (gu, gts, gh, _, _) in zip(rows, got):
+        assert (gu, gts, gh) == (u, ts, h)
