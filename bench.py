@@ -390,7 +390,7 @@ def repo_procs_live() -> list:
         is_java = exe.endswith("java") or exe == "java"
         if not (is_py or is_java):
             continue
-        if ("pytest" in lc or (is_py and repo in cmd)
+        if ("pytest" in lc or (is_py and (repo in cmd or "bench.py" in lc))
                 or (is_java and "spark" in lc)):
             hits.append(f"pid {pid}: {cmd[:120]}")
     return hits
@@ -415,10 +415,14 @@ def load_pairs_ledger(path: str) -> tuple:
     return rows, clean
 
 
-def wait_for_no_contamination(budget_s: float = 300.0) -> list:
+def wait_for_no_contamination(budget_s: float = 720.0) -> list:
     """Wait (bounded) for the repo's own stray processes to finish
     before a timed pair; returns whatever is still live (recorded on
-    the pair — a contaminated pair can never be counted clean)."""
+    the pair — a contaminated pair can never be counted clean).
+    Budget covers one full in-flight pinned pair (~8 min at 800k
+    docs): the round-4 ledger hunter runs between driver bench runs,
+    and a mid-pair collision must resolve by WAITING, not by starting
+    the bench's first pair contaminated."""
     t0 = time.time()
     while True:
         hits = repo_procs_live()
