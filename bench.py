@@ -397,12 +397,16 @@ def repo_procs_live() -> list:
 
 
 def load_pairs_ledger(path: str) -> tuple:
-    """Parse BENCH/pairs_ledger.jsonl → (rows, clean_effs).
+    """Parse BENCH/pairs_ledger.jsonl → (strong_rows, clean_effs,
+    weak_rows).
 
-    A row is clean evidence only if the hunter that recorded it marked
-    it clean (monitor-validated ceiling ≥ the clean bar, no repo-owned
-    contaminating process) AND its ratio is physical (≤ 1.0) — the same
-    admission rule the in-run gate applies to its own pairs.
+    Strong rows are the pinned 1→4-core pairs (protocol ``pinned*``);
+    weak rows (protocol ``weak*``) are 1-vs-4 real-executor-JVM pairs
+    at 1× vs 4× input. A row is clean evidence only if the hunter that
+    recorded it marked it clean (monitor-validated quiet window, no
+    repo-owned contaminating process) AND its ratio is physical
+    (≤ 1.0) — the same admission rule the in-run gate applies to its
+    own pairs.
     """
     rows = []
     if os.path.exists(path):
@@ -411,8 +415,10 @@ def load_pairs_ledger(path: str) -> tuple:
                 ln = ln.strip()
                 if ln and not ln.startswith("#"):
                     rows.append(json.loads(ln))
-    clean = [r["eff"] for r in rows if r.get("clean") and r["eff"] <= 1.0]
-    return rows, clean
+    weak = [r for r in rows if r.get("protocol", "").startswith("weak")]
+    strong = [r for r in rows if not r.get("protocol", "").startswith("weak")]
+    clean = [r["eff"] for r in strong if r.get("clean") and r["eff"] <= 1.0]
+    return strong, clean, weak
 
 
 def wait_for_no_contamination(budget_s: float = 720.0) -> list:
@@ -843,7 +849,17 @@ def main():
     # explicitly-suffixed key for the reader to weigh.
     ledger_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH", "pairs_ledger.jsonl")
-    led_rows, led_clean = load_pairs_ledger(ledger_path)
+    led_rows, led_clean, led_weak = load_pairs_ledger(ledger_path)
+    if led_weak:
+        # weak-pair corroboration rows (1 vs 4 real executor JVMs at
+        # 1x vs 4x input) measured earlier in the round by the same
+        # monitored protocol as the in-run weak pair below
+        w_clean = [r["eff"] for r in led_weak
+                   if r.get("clean") and r["eff"] <= 1.0]
+        results["weak_ledger_pairs"] = len(led_weak)
+        if w_clean:
+            results["weak_ledger_clean"] = [round(e, 3) for e in w_clean]
+            results["weak_ledger_clean_median"] = round(median(w_clean), 3)
     if led_rows:
         results["scaling_ledger_pairs"] = len(led_rows)
         # clean effs grouped by input size — pairs at different
