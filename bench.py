@@ -181,13 +181,19 @@ def quick_interference(window_s: float = 4.0, probe_cores: int = 4) -> tuple:
     ratio the build's own turbo shift can fake."""
     import multiprocessing as mp
     stop = mp.Event()
+    # hard deadline INSIDE the burner: a daemon Process is only
+    # reaped by atexit, so a SIGTERM/SIGKILL of the parent mid-probe
+    # would otherwise leave probe_cores spinners running forever
+    # (observed: 4 orphans at 46% CPU each after killing a hunter)
+    deadline = time.time() + window_s + 10.0
 
-    def _spin(ev):
+    def _spin(ev, until):
         x = 0
-        while not ev.is_set():
-            x = (x * 3 + 1) % 1000003
+        while not ev.is_set() and time.time() < until:
+            for _ in range(200_000):
+                x = (x * 3 + 1) % 1000003
 
-    procs = [mp.Process(target=_spin, args=(stop,), daemon=True)
+    procs = [mp.Process(target=_spin, args=(stop, deadline), daemon=True)
              for _ in range(probe_cores)]
     for p in procs:
         p.start()
