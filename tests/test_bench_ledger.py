@@ -33,8 +33,9 @@ def _write(tmp_path, rows):
 
 
 def test_missing_file_is_empty(bench):
-    rows, clean, weak = bench.load_pairs_ledger("/nonexistent/ledger.jsonl")
-    assert rows == [] and clean == [] and weak == []
+    rows, clean, weak, exec4 = bench.load_pairs_ledger(
+        "/nonexistent/ledger.jsonl")
+    assert rows == [] and clean == [] and weak == [] and exec4 == []
 
 
 def test_clean_admission_rules(bench, tmp_path):
@@ -49,7 +50,7 @@ def test_clean_admission_rules(bench, tmp_path):
         {"eff": 0.83, "ceiling": 0.9},
     ]
     path = _write(tmp_path, rows_in)
-    rows, clean, weak = bench.load_pairs_ledger(path)
+    rows, clean, weak, exec4 = bench.load_pairs_ledger(path)
     assert len(rows) == 4            # all rows surface for audit
     assert clean == [0.841]          # only the validated physical pair
 
@@ -58,7 +59,7 @@ def test_comment_and_blank_lines_skipped(bench, tmp_path):
     p = tmp_path / "ledger.jsonl"
     p.write_text("# header\n\n" + json.dumps({"eff": 0.8, "clean": True})
                  + "\n")
-    rows, clean, weak = bench.load_pairs_ledger(str(p))
+    rows, clean, weak, exec4 = bench.load_pairs_ledger(str(p))
     assert len(rows) == 1 and clean == [0.8]
 
 def test_weak_rows_partition_separately(bench, tmp_path):
@@ -68,7 +69,25 @@ def test_weak_rows_partition_separately(bench, tmp_path):
         {"eff": 0.79, "clean": False, "protocol": "weak_cluster_1x_4x"},
     ]
     path = _write(tmp_path, rows_in)
-    strong, clean, weak = bench.load_pairs_ledger(path)
+    strong, clean, weak, exec4 = bench.load_pairs_ledger(path)
     assert [r["eff"] for r in strong] == [0.82]
     assert clean == [0.82]
     assert [r["eff"] for r in weak] == [0.85, 0.79]
+
+
+def test_exec4_rows_partition_separately(bench, tmp_path):
+    rows_in = [
+        {"eff": 0.82, "clean": True, "protocol": "pinned_c1_c4_interference"},
+        {"eff": 0.88, "clean": True, "protocol": "strong_exec4_cluster"},
+        {"eff": 1.05, "clean": True, "protocol": "strong_exec4_cluster"},
+        {"eff": 0.74, "clean": False, "protocol": "strong_exec4_cluster"},
+    ]
+    path = _write(tmp_path, rows_in)
+    strong, clean, weak, exec4 = bench.load_pairs_ledger(path)
+    assert [r["eff"] for r in strong] == [0.82]
+    assert clean == [0.82]
+    assert [r["eff"] for r in exec4] == [0.88, 1.05, 0.74]
+    # the same admission rule bench republication applies:
+    x_clean = [r["eff"] for r in exec4
+               if r.get("clean") and r["eff"] <= 1.0]
+    assert x_clean == [0.88]
