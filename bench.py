@@ -23,7 +23,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      BENCH_SCALING_DOCS (scaling-pair input, default 800_000),
      BENCH_WEAK_SCALING (run the N-vs-4N-executor weak pair, default 1),
      BENCH_EXEC4_SCALING (run the 1-vs-4 four-core-executor strong
-     pair, default 1), BENCH_EXEC4_DOCS (its input, default 4*N_DOCS),
+     pair, opt-in, default 0), BENCH_EXEC4_DOCS (its input, default
+     4*N_DOCS),
      BENCH_BUILD_MEM (pinned-child heap, default 12g).
 """
 
@@ -429,9 +430,11 @@ def load_pairs_ledger(path: str) -> tuple:
     weak = [r for r in rows if r.get("protocol", "").startswith("weak")]
     exec4 = [r for r in rows
              if r.get("protocol", "").startswith("strong_exec4")]
+    # POSITIVE match on pinned*: an unrecognized future protocol name
+    # must never silently pool into the pinned clean gate (rows
+    # predating the protocol field are pinned by construction)
     strong = [r for r in rows
-              if not r.get("protocol", "").startswith(("weak",
-                                                       "strong_exec4"))]
+              if r.get("protocol", "pinned").startswith("pinned")]
     clean = [r["eff"] for r in strong if r.get("clean") and r["eff"] <= 1.0]
     return strong, clean, weak, exec4
 
@@ -929,13 +932,19 @@ def main():
         # by adding same-shape executors), so the ratio isolates what
         # actually changes with cluster size: cross-JVM shuffle,
         # scheduling fan-out, and stage-tail amortization
-        x_clean = [r["eff"] for r in led_exec4
-                   if r.get("clean") and r["eff"] <= 1.0]
         results["exec4_ledger_pairs"] = len(led_exec4)
-        if x_clean:
-            results["exec4_ledger_clean"] = [round(e, 3) for e in x_clean]
-            results["exec4_ledger_clean_median"] = round(
-                median(x_clean), 3)
+        # grouped by input size for the same reason as the pinned
+        # rows below: exec4 pairs at different n_docs measure
+        # different fixed-cost regimes (a 1.6M pair is per-stage-tail
+        # dominated; a 4M pair is not) and must not share a median
+        x_by_docs: dict[int, list] = {}
+        for r in led_exec4:
+            if r.get("clean") and r["eff"] <= 1.0:
+                x_by_docs.setdefault(int(r.get("n_docs", 0)), []).append(
+                    r["eff"])
+        for nd, effs in sorted(x_by_docs.items()):
+            results[f"exec4_ledger_clean_{nd // 1000}k"] = [
+                round(e, 3) for e in effs]
     if led_weak:
         # weak-pair corroboration rows (1 vs 4 real executor JVMs at
         # 1x vs 4x input) measured earlier in the round by the same
@@ -994,6 +1003,7 @@ def main():
                 spark.stop()
             for attempt in range(2):
                 wait_for_quiet(min(quiet_budget, 300.0))
+                w_contam = wait_for_no_contamination()
                 mon = InterferenceMonitor()
                 try:
                     wt1 = one_build_cluster(1, f"{WORK}/weak_low",
@@ -1004,7 +1014,8 @@ def main():
                 finally:
                     wm = mon.stop()
                 w_eff = wt1 / wt4
-                w_clean = interference_clean(wm) and w_eff <= 1.0
+                w_clean = (interference_clean(wm) and not w_contam
+                           and w_eff <= 1.0)
                 log(f"[bench] weak pair: 1x@{N_DOCS}={wt1:.1f}s "
                     f"4x@{weak_hi_docs}={wt4:.1f}s eff={w_eff:.3f} "
                     f"clean={w_clean}")
@@ -1039,9 +1050,9 @@ def main():
     # pair at 1.6M docs read 0.418 with the fixed-cost model
     # t4x4 = 55 s + 25 s/M·docs vs t1x4 = 100 s/M·docs (fixed ≈ 0),
     # i.e. ≥ 0.8 needs ≥ ~9M docs (~20 min/pair) — hunter/ledger
-    # territory, not driver-run territory. The committed ledger
-    # carries exec4 pairs at 4M; this in-run pair exists for clusters
-    # with real job sizes.
+    # territory, not driver-run territory. The round's background
+    # hunter records exec4 pairs at 4M into the committed ledger;
+    # this in-run pair exists for clusters with real job sizes.
     if os.environ.get("BENCH_EXEC4_SCALING", "0") == "1":
         x4_docs = int(os.environ.get("BENCH_EXEC4_DOCS",
                                      str(4 * N_DOCS)))
@@ -1057,6 +1068,7 @@ def main():
                 spark.stop()
             for attempt in range(2):
                 wait_for_quiet(min(quiet_budget, 300.0))
+                x_contam = wait_for_no_contamination()
                 mon = InterferenceMonitor()
                 try:
                     xt4 = one_build_cluster(4, f"{WORK}/x4_high",
@@ -1069,7 +1081,8 @@ def main():
                 finally:
                     xm = mon.stop()
                 x_eff = (xt1 / xt4) / 4
-                x_clean = interference_clean(xm) and x_eff <= 1.0
+                x_clean = (interference_clean(xm) and not x_contam
+                           and x_eff <= 1.0)
                 log(f"[bench] exec4 pair: 1x4@{x4_docs}={xt1:.1f}s "
                     f"4x4@{x4_docs}={xt4:.1f}s eff={x_eff:.3f} "
                     f"clean={x_clean}")

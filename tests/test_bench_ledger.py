@@ -91,3 +91,16 @@ def test_exec4_rows_partition_separately(bench, tmp_path):
     x_clean = [r["eff"] for r in exec4
                if r.get("clean") and r["eff"] <= 1.0]
     assert x_clean == [0.88]
+
+
+def test_unknown_protocol_never_pools_into_pinned_gate(bench, tmp_path):
+    rows_in = [
+        {"eff": 0.82, "clean": True, "protocol": "pinned_c1_c4_interference"},
+        # a future protocol name must not silently feed the pinned
+        # clean gate (positive pinned* match, not a negative list)
+        {"eff": 0.99, "clean": True, "protocol": "strong_exec8_cluster"},
+    ]
+    path = _write(tmp_path, rows_in)
+    strong, clean, weak, exec4 = bench.load_pairs_ledger(path)
+    assert [r["eff"] for r in strong] == [0.82]
+    assert clean == [0.82]
