@@ -455,6 +455,10 @@ class FieldedLocalIndex:
                     self._meta_cache.move_to_end((name, t))
                     tb[(name, t)] = meta
         if not any(key[0] != TLD_FIELD for key in tb):
+            # charge the entries this query DID load (TLD-only block
+            # tables) before bailing, or the incremental accounting
+            # never sees them and the cache grows past its budget
+            self._evict(touched=list(tb))
             return []
 
         # cross_fields MSM groups: a candidate's matched count = the

@@ -945,7 +945,8 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
                     "order": order, "p": int(ist["n"]), "tails": tails,
                     "ist": ist, "segmask": segmask,
                     "sd": ist["d"], "ss": ist["s"], "q": 0,
-                    "ld": ist["ld"], "ls": ist["ls"]}
+                    "ld": ist["ld"], "ls": ist["ls"],
+                    "pending": [], "pend_np": 0, "pend_max": -np.inf}
 
     def _ta_probe(t, nf):
         """Exact contributions for the not-found-in-ld candidates of
@@ -1007,16 +1008,34 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
             o = int(u["ref"][ui])
             n_reg += _ensure_blocks(d, st, np.asarray([o]), k1, b, avgdl)
             got = st["seg"][o]
-        new_d = np.concatenate([ist["d"], got[0]])
-        new_s = np.concatenate([ist["s"], got[1]])
-        key = np.lexsort((new_d, -new_s))
-        ist["d"], ist["s"] = new_d[key], new_s[key]
-        ld = np.concatenate([ist["ld"], got[0]])
-        ls = np.concatenate([ist["ls"], got[1]])
-        dk = np.argsort(ld, kind="stable")
-        ist["ld"], ist["ls"] = ld[dk], ls[dk]
+        # defer the stream merge to _fold_flush: re-sorting the whole
+        # accumulated stream per 128-posting chunk is quadratic over a
+        # cold sweep; one resort per term per round is not
+        u["pending"].append(got)
+        u["pend_np"] += int(got[0].size)
+        if got[1].size:
+            u["pend_max"] = max(u["pend_max"], float(got[1].max()))
         ist["ld_np"] = -1   # probes may also have decoded: resync next call
         ist["n"] += 1
+
+    def _fold_flush(t: str):
+        """Merge every unit folded since the last flush into the
+        memoized impact stream with ONE (score desc, docid asc) resort
+        and ONE docid-lookup resort, then reset the consumption
+        pointer exactly as the per-fold merge used to."""
+        u = units[t]
+        if not u["pending"]:
+            return
+        ist = u["ist"]
+        new_d = np.concatenate([ist["d"]] + [g[0] for g in u["pending"]])
+        new_s = np.concatenate([ist["s"]] + [g[1] for g in u["pending"]])
+        key = np.lexsort((new_d, -new_s))
+        ist["d"], ist["s"] = new_d[key], new_s[key]
+        ld = np.concatenate([ist["ld"]] + [g[0] for g in u["pending"]])
+        ls = np.concatenate([ist["ls"]] + [g[1] for g in u["pending"]])
+        dk = np.argsort(ld, kind="stable")
+        ist["ld"], ist["ls"] = ld[dk], ls[dk]
+        u["pending"], u["pend_np"], u["pend_max"] = [], 0, -np.inf
         u["sd"], u["ss"], u["q"] = ist["d"], ist["s"], 0
         u["ld"], u["ls"] = ist["ld"], ist["ls"]
 
@@ -1063,13 +1082,29 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
             u = units[t]
             # keep the stream ahead of the unvisited units so
             # consumption approximates global impact order (the bound
-            # stays valid either way; this only speeds convergence)
-            while u["p"] < u["order"].size and (
-                    u["ss"].size - u["q"] < batch
-                    or (u["q"] < u["ss"].size
-                        and u["ub"][u["order"][u["p"]]] >= u["ss"][u["q"]])):
+            # stays valid either way; this only speeds convergence).
+            # avail/head replicate the old per-fold merge exactly: a
+            # fold resets consumption (q=0 at flush), so with pending
+            # chunks every stream posting counts as available again
+            # and the head is the global max decoded score.
+            while u["p"] < u["order"].size:
+                if u["pending"]:
+                    avail = u["ss"].size + u["pend_np"]
+                    head = u["pend_max"]
+                    if u["ss"].size:
+                        head = max(head, float(u["ss"][0]))
+                    has_head = avail > 0
+                else:
+                    avail = u["ss"].size - u["q"]
+                    has_head = u["q"] < u["ss"].size
+                    head = float(u["ss"][u["q"]]) if has_head else 0.0
+                if not (avail < batch
+                        or (has_head
+                            and u["ub"][u["order"][u["p"]]] >= head)):
+                    break
                 _decode_unit(t, int(u["order"][u["p"]]))
                 u["p"] += 1
+            _fold_flush(t)
             take = min(batch, u["ss"].size - u["q"])
             if take > 0:
                 cands.append(u["sd"][u["q"]:u["q"] + take])

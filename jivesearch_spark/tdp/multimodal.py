@@ -100,7 +100,9 @@ def parse_image_dims(data: bytes) -> tuple[int, int] | None:
     if len(data) >= 4 and data.startswith(b"\xff\xd8\xff"):
         i = 2
         n = len(data)
-        while i + 9 < n:
+        # <= so a SOF whose height/width fields end exactly at the
+        # buffer end (i + 9 == n) is still read, not skipped
+        while i + 9 <= n:
             if data[i] != 0xFF:
                 return None     # lost marker sync — malformed
             marker = data[i + 1]
@@ -114,8 +116,6 @@ def parse_image_dims(data: bytes) -> tuple[int, int] | None:
             if seg_len < 2:
                 return None
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                if i + 9 > n:
-                    return None
                 h = int.from_bytes(data[i + 5:i + 7], "big")
                 w = int.from_bytes(data[i + 7:i + 9], "big")
                 return (w, h) if w and h else None

@@ -99,6 +99,10 @@ def iter_warc_records(raw: bytes):
             clen = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if clen < 0:
+            # a negative length would stall or rewind pos — same
+            # malformed-framing treatment as a torn tail
+            return
         body_start = hdr_end + 4
         if body_start + clen > n:
             return  # truncated record
@@ -143,13 +147,14 @@ def records_from_bytes(content: bytes):
         yield from iter_warc_records(content)
 
 
-def pages_from_warc_bytes(content: bytes, keep_non_ok: bool = False):
-    """One WARC file's bytes → page tuples (url, warc_ts, html, None,
-    None). Only ``response``/``resource`` records with a target URI
-    survive; non-2xx responses are dropped unless ``keep_non_ok`` (the
-    reference crawler only feeds 2xx bodies to the extractor,
-    crawler.go:287-309)."""
-    out = []
+def iter_pages_from_warc(content: bytes, keep_non_ok: bool = False):
+    """Lazily yield page tuples (url, warc_ts, html, None, None) from
+    one WARC file's bytes. Only ``response``/``resource`` records with
+    a target URI survive; non-2xx responses are dropped unless
+    ``keep_non_ok`` (the reference crawler only feeds 2xx bodies to
+    the extractor, crawler.go:287-309). A generator so the Spark task
+    holds at most one output batch of pages, never a whole
+    decompressed segment."""
     for headers, body in records_from_bytes(content):
         if headers.get("warc-type") not in _KEEP_TYPES:
             continue
@@ -161,8 +166,12 @@ def pages_from_warc_bytes(content: bytes, keep_non_ok: bool = False):
                 200 <= status < 300):
             continue
         ts = parse_warc_date(headers.get("warc-date", ""))
-        out.append((url.strip("<>"), ts, payload, None, None))
-    return out
+        yield (url.strip("<>"), ts, payload, None, None)
+
+
+def pages_from_warc_bytes(content: bytes, keep_non_ok: bool = False):
+    """Eager list form of ``iter_pages_from_warc`` (tests, small files)."""
+    return list(iter_pages_from_warc(content, keep_non_ok))
 
 
 def read_warc(spark, path: str, keep_non_ok: bool = False,
@@ -181,7 +190,11 @@ def read_warc(spark, path: str, keep_non_ok: bool = False,
     from .session import ensure_shipped
     ensure_shipped(spark)
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = (spark.read.format("binaryFile")
+             # same filter as stream_warc: never materialize sidecar
+             # files (_SUCCESS, checkpoints, logs) into task memory
+             .option("pathGlobFilter", "*.warc*")
+             .load(path).select("content"))
     return files.mapInPandas(_parse_files_fn(keep_non_ok, batch_records),
                              schema=PAGES_SCHEMA)
 
@@ -211,16 +224,22 @@ def stream_warc(spark, path: str, keep_non_ok: bool = False,
 
 
 def _parse_files_fn(keep_non_ok: bool, batch_records: int):
+    import itertools
+
     import pandas as pd
 
     def _parse(batches):
         cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
             for content in pdf["content"]:
-                rows = pages_from_warc_bytes(bytes(content), keep_non_ok)
-                for i in range(0, len(rows), batch_records):
-                    yield pd.DataFrame(rows[i:i + batch_records],
-                                       columns=cols)
+                # lazy slicing: peak memory per task is one
+                # batch_records slice, not the decompressed segment
+                pages = iter_pages_from_warc(bytes(content), keep_non_ok)
+                while True:
+                    chunk = list(itertools.islice(pages, batch_records))
+                    if not chunk:
+                        break
+                    yield pd.DataFrame(chunk, columns=cols)
 
     return _parse
 

@@ -148,3 +148,26 @@ def test_fielded_serving_bounds_carry_field_boost(roots):
                            rtol=1e-12), (field, term)
         checked += 1
     assert checked >= 2
+
+
+@pytest.mark.spark
+def test_fielded_tld_only_bail_charges_cache(roots):
+    """A query whose only retrievable block tables are TLD entries
+    bails with [] — but the entries it parked in _meta_cache must be
+    charged to the incremental eviction accounting, or a long-running
+    tier grows the cache past arr_cache_max_postings unseen."""
+    idx = FieldedLocalIndex(roots[None])
+    tlds = [t for t in ("com", "org", "net", "io", "de", "jp", "uk")
+            if idx.stats_for("tld", [t])]
+    assert tlds, "fixture corpus should have at least one known tld"
+    # postings-less text fields are a constructor-supported state
+    # (zero-posting fields write no postings dir); forcing it routes
+    # the query to the tld-only early return
+    for name in idx.fields:
+        idx._post[name] = None
+    assert idx.topk("bob dylan", k=5, tld_boost=tlds[0]) == []
+    parked = [k for k in idx._meta_cache if k[0] == "tld"]
+    assert parked, "tld block table should have been cached"
+    assert all(k in idx._cost for k in parked)
+    assert idx._cost_total == sum(idx._cost.values())
+    assert idx._cost_total > 0

@@ -462,3 +462,15 @@ def test_cosine_near_dup_lsh_null_vectors(spark, emb):
                and r.id_b not in (500001, 500002) for r in got)
     # all-NULL input → empty frame, not a crash
     assert ann.cosine_near_dup_lsh(nulls, threshold=0.9).count() == 0
+
+
+def test_parse_image_dims_jpeg_sof_at_buffer_end():
+    """A JPEG truncated immediately after the SOF width field (the
+    dimension bytes end exactly at the buffer end) still parses —
+    regression for the loop bound skipping the final readable SOF."""
+    import struct
+
+    sof_only = (b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 11)
+                + b"\x08" + struct.pack(">HH", 77, 99))
+    assert len(sof_only) == 11  # SOF height/width end at the last byte
+    assert multimodal.parse_image_dims(sof_only) == (99, 77)

@@ -122,3 +122,33 @@ def test_stream_warc_micro_batches(spark, tmp_path):
     assert len(got) == len(rows)
     golden = {u: h for u, _, h, _, _ in rows}
     assert all(bytes(r["html"]) == golden[r["url"]] for r in got)
+
+
+def test_warc_negative_content_length_terminates():
+    """A corrupt/hostile negative Content-Length must end iteration
+    (same torn-tail treatment), never stall the parser: with
+    body_start + clen == pos the loop would otherwise re-yield the
+    same record forever."""
+    rec = (b"WARC/1.0\r\nWARC-Type: resource\r\n"
+           b"WARC-Target-URI: http://x\r\nContent-Length: -81\r\n\r\n")
+    assert warc.pages_from_warc_bytes(rec) == []
+    # a good record BEFORE the corrupt one still parses
+    rows = _pages(1)
+    blob_plain = warc._warc_record(rows[0][0], rows[0][1], rows[0][2])
+    got = warc.pages_from_warc_bytes(blob_plain + rec)
+    assert len(got) == 1
+
+
+def test_warc_pages_iter_is_lazy():
+    """iter_pages_from_warc is a true generator: a Spark task slices
+    it in bounded batches instead of materializing the decompressed
+    segment (the eager list form is the test convenience)."""
+    import types
+
+    rows = _pages(4)
+    blob = warc.warc_bytes([(u, ts, h) for u, ts, h, _, _ in rows])
+    it = warc.iter_pages_from_warc(blob)
+    assert isinstance(it, types.GeneratorType)
+    first = next(it)
+    assert first[0] == rows[0][0]
+    assert len(list(it)) == len(rows) - 1
