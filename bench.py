@@ -91,14 +91,24 @@ def make_session(cores: int):
     return spark
 
 
-def build_pipeline(spark, pages_path: str, out_root: str):
-    """Timed portion: read pages parquet → extract → docids → index."""
+def build_pipeline(spark, pages_path: str, out_root: str, log=None):
+    """Timed portion: read pages parquet → extract → docids → index.
+    ``log`` (or env BENCH_STAGE_LOG=1) enables per-stage timing lines —
+    used by the stage-attribution hunter, never by timed gate pairs'
+    default path (the lines are driver-side prints, cost ~0)."""
     from pyspark.sql import functions as F
 
     from jivesearch_spark.extract import extract_pages_df
     from jivesearch_spark.index import IndexParams, build_index
 
     t0 = time.time()
+    if log is None:
+        if os.environ.get("BENCH_STAGE_LOG") == "1":
+            def log(*a):  # elapsed-stamped so inter-stage gaps show
+                print(f"STAGE @{time.time()-t0:7.1f}s", *a, flush=True)
+        else:
+            def log(*a):
+                pass
     pages = spark.read.parquet(pages_path)
     docs = (extract_pages_df(pages, collect_links=False)
             .where(F.col("valid") & F.col("index") & F.col("canonical"))
@@ -106,7 +116,7 @@ def build_pipeline(spark, pages_path: str, out_root: str):
     params = IndexParams(docs_per_shard=1 << 16, n_buckets=32, bucket_batch=32)
     man = build_index(docs, out_root, params, id_col="__none__",
                       url_col="url", check_invariants=False,
-                      log=lambda *a: None)
+                      log=log)
     return man, time.time() - t0
 
 

@@ -596,6 +596,7 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
     # override is session-wide and later kernels in the same session
     # carry wide binary/text payloads (the reason the default is small)
     try:
+        log("[index] stage2: encode begin")
         for batch in batches:
             key = f"buckets_{batch[0]}_{batch[-1]}"
             if key in man.completed_batches:
@@ -656,9 +657,11 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
         spark.conf.set(_arrow_key, _arrow_prev)
 
     if meta_thread is not None:
+        t_mw = time.time()
         meta_thread.join()
         if meta_err:
             raise meta_err[0]
+        log(f"[index] meta write wait +{time.time()-t_mw:.1f}s")
 
     if check_invariants:
         dic = spark.read.parquet(meta_path)
