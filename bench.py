@@ -42,14 +42,21 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "400000"))
 #: input size for the SCALING PAIRS only (throughput/query sections
-#: stay at N_DOCS). Default 2x N_DOCS: at 400k the 4-core half is a
+#: stay at N_DOCS). Default 5x N_DOCS: at 400k the 4-core half is a
 #: ~56 s, ~25-stage job whose fixed per-stage costs (driver latency,
 #: wave tails — measured ~10 s, see BENCH/BASELINE.md round-4
 #: attribution) put a ~0.8 ceiling on ANY pipeline's measured ratio;
 #: a 100 TB job amortizes those by construction, so the pair is sized
 #: to keep per-stage work out of the fixed-cost regime while still
-#: fitting the round's measurement budget.
-SCALE_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "800000"))
+#: fitting the round's measurement budget. Raised 800k → 2M in round
+#: 4 after the clean per-stage attribution (tools/stage_pair.py)
+#: showed the remaining 800k-pair loss is ~1/2 fixed stage-tail and
+#: serial-driver seconds that shrink as a FRACTION with input size
+#: (the 12-clean-pair 800k ledger median sat at 0.799, i.e. exactly
+#: on the fixed-cost ceiling of that size). Pairs at each size are
+#: published separately (scaling_ledger_clean_{N}k) — sizes are
+#: different fixed-cost regimes and never share a median.
+SCALE_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "2000000"))
 #: N → 4N scaling pair. 1→4 is the cleanest instance this VM offers:
 #: measured 1→4 = 0.85 vs 2→8 = 0.76-0.81 (8 concurrent cores start
 #: hitting shared memory-bandwidth/turbo limits that have nothing to
@@ -812,11 +819,12 @@ def main():
     # median or the BENCH_PAIRS_BUDGET (default 3000 s) runs out
     # after 3 pairs; each pair (including the first) first waits up to
     # BENCH_QUIET_WAIT for a quiet window. At the default
-    # SCALE_DOCS=800k a pair is ~9.5 min, so the budget admits ~3
-    # pairs plus the early-stop path — a storm that never yields a
-    # clean window leaves the gate on the weakest fallback basis for
-    # the whole round (the committed pairs ledger then carries the
-    # round's clean evidence).
+    # SCALE_DOCS=2M a pair is ~13-19 min depending on the window, so
+    # the early-stop path (2 clean pairs at ≥ 0.8) is the normal exit
+    # and the budget caps a stormy run at 3 pairs — a storm that
+    # never yields a clean window leaves the gate on the weakest
+    # fallback basis for the whole round (the committed pairs ledger
+    # then carries the round's clean evidence).
     max_pairs = int(os.environ.get("BENCH_MAX_PAIRS", "9"))
     min_pairs = max(2, BUILD_REPS - 1)
     quiet_budget = float(os.environ.get("BENCH_QUIET_WAIT", "420"))

@@ -372,8 +372,20 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             # persist measured vs recompute (round 3, tf now
             # shuffle-free): recompute costs a second tokenize+RLE
             # pass and loses ~15% wall at 4 cores; the persist wins.
-            # JIVESEARCH_TF_PERSIST=0 disables (memory-constrained).
-            if os.environ.get("JIVESEARCH_TF_PERSIST", "1") == "1":
+            # JIVESEARCH_TF_PERSIST=0 disables (memory-constrained);
+            # =lc materializes via localCheckpoint instead — raw
+            # Tungsten-row blocks, skipping the columnar-compress cache
+            # build (an allocation-heavy pass that contends across
+            # same-JVM tasks; the stage attribution flagged tf+stats as
+            # the worst-scaling stage). localCheckpoint blocks don't
+            # survive executor loss — on a multi-executor cluster the
+            # resilient choice is the staged-tf parquet path
+            # (bucket_batch < n_buckets), which is also the 100-TB
+            # shape; lc is the single-JVM/local-mode optimum.
+            _tfp = os.environ.get("JIVESEARCH_TF_PERSIST", "1")
+            if _tfp == "lc":
+                tf = tf.localCheckpoint(eager=False)
+            elif _tfp == "1":
                 from pyspark import StorageLevel
                 tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
             tf_live = tf

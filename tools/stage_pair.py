@@ -60,13 +60,17 @@ def run_half(cores: int, out: str) -> tuple[float, list[str]]:
 
 def stage_marks(lines: list[str]) -> dict[str, float]:
     """elapsed timestamp of each stage-completion marker."""
+    import re
     marks = {}
     for ln in lines:
         ts = float(ln.split("@", 1)[1].split("s", 1)[0])
         label = ln.split("s ", 1)[1].strip()
-        # normalize the per-batch encode label
+        # normalize variable parts so labels match across halves:
+        # per-batch encode keys, embedded durations, and counters
         if label.startswith("[index] buckets_"):
             label = "[index] encode batch done"
+        label = re.sub(r"[+ ]\d+(\.\d+)?s\b", "", label)
+        label = re.sub(r"\d[\d,~]*", "N", label)
         marks[label] = ts
     return marks
 
