@@ -435,7 +435,7 @@ class FieldedLocalIndex:
                 flt = (ds.field("bucket").isin(bks)
                        & ds.field("term").isin(missing))
                 pdf = self._post[name].to_table(filter=flt,
-                                                columns=cols).to_pandas()
+                                                columns=cols)
                 if len(pdf):
                     w = {t: spec["idf"][t] * spec["boost"] for t in missing}
                     for t, meta in _term_block_meta(pdf, w).items():

@@ -195,11 +195,109 @@ def _score_shard_np(pdf, idf: dict, k1: float, b: float, avgdl: float,
     return _topk_from_terms(terms, k, msm_req, use_wand)
 
 
+class _LazyBytes:
+    """Sequence view over an Arrow binary column: block bytes are
+    materialized per ordinal at decode time. The serving cold path
+    decodes a fraction of the blocks it reads bounds for (prefix-TA:
+    ~a third), so eagerly converting every row's compressed bytes to
+    Python objects (what ``to_pandas``+``tolist`` did) paid for
+    postings that never decode; bulk paths (__iter__, the brute
+    oracle) still convert in one ``to_pylist`` call."""
+    __slots__ = ("_a",)
+
+    def __init__(self, arr):
+        self._a = arr
+
+    def __len__(self):
+        return len(self._a)
+
+    def __getitem__(self, i):
+        return self._a[i].as_py()
+
+    def __iter__(self):
+        return iter(self._a.to_pylist())
+
+    def take(self, idxs) -> list:
+        """Bulk materialize many ordinals in one Arrow call (the
+        block-batch decode path)."""
+        return self._a.take(idxs).to_pylist()
+
+
+def _term_block_meta_arrow(tbl, idf: dict) -> dict:
+    """Arrow-native _term_block_meta (same output contract): sorts and
+    groups with Arrow compute + numpy run boundaries, and leaves the
+    compressed block bytes as _LazyBytes column slices — the serving
+    tiers pass the pruned parquet read straight in, skipping the
+    pandas conversion entirely."""
+    import pyarrow.compute as pc
+    has_shard = "shard" in tbl.column_names
+    neg_mask = pc.less(tbl["block_id"], 0)
+    imp_t = tbl.filter(neg_mask) if pc.any(neg_mask).as_py() else None
+    reg_t = tbl.filter(pc.invert(neg_mask)) if imp_t is not None else tbl
+
+    def _groups(t, blk_order):
+        keys = ([("term", "ascending")]
+                + ([("shard", "ascending")] if has_shard else [])
+                + [("block_id", blk_order)])
+        t = t.sort_by(keys).combine_chunks()
+        enc = pc.dictionary_encode(t["term"].combine_chunks())
+        codes = enc.indices.to_numpy()
+        names = enc.dictionary.to_pylist()
+        change = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate([[0], change]).astype(np.int64)
+        ends = np.concatenate([change, [codes.size]]).astype(np.int64)
+        cols = {c: t[c].to_numpy(zero_copy_only=False)
+                for c in ("first_docid", "last_docid", "n_docs",
+                          "max_score_ub")}
+        cols["shard"] = (t["shard"].to_numpy(zero_copy_only=False)
+                        if has_shard else np.zeros(codes.size,
+                                                   dtype=np.int64))
+        byt = {c: t[c].combine_chunks()
+               for c in ("deltas", "tfs", "dls")}
+        for si, ei in zip(starts.tolist(), ends.tolist()):
+            yield names[int(codes[si])], slice(si, ei), cols, byt
+
+    out = {}
+    # regular rows ascending block_id (docid order)
+    for term, sl, cols, byt in _groups(reg_t, "ascending"):
+        n = sl.stop - sl.start
+        out[term] = {
+            "first": cols["first_docid"][sl].astype(np.int64),
+            "last": cols["last_docid"][sl].astype(np.int64),
+            "nd": cols["n_docs"][sl].astype(np.int64),
+            "ub": cols["max_score_ub"][sl].astype(np.float64),
+            "bshard": cols["shard"][sl].astype(np.int64),
+            "deltas": _LazyBytes(byt["deltas"].slice(sl.start, n)),
+            "tfs": _LazyBytes(byt["tfs"].slice(sl.start, n)),
+            "dls": _LazyBytes(byt["dls"].slice(sl.start, n)),
+            "w": idf[term],
+            "nd_total": int(cols["n_docs"][sl].sum()),
+        }
+    if imp_t is not None and len(imp_t):
+        # impact rows: rank = -block_id - 1 ascending ⇔ block_id DESC
+        for term, sl, cols, byt in _groups(imp_t, "descending"):
+            d = out.get(term)
+            if d is None:   # prefix rows imply regular rows; be safe
+                continue
+            n = sl.stop - sl.start
+            d["iub"] = cols["max_score_ub"][sl].astype(np.float64)
+            d["ind"] = cols["n_docs"][sl].astype(np.int64)
+            d["ishard"] = cols["shard"][sl].astype(np.int64)
+            d["ideltas"] = _LazyBytes(byt["deltas"].slice(sl.start, n))
+            d["itfs"] = _LazyBytes(byt["tfs"].slice(sl.start, n))
+            d["idls"] = _LazyBytes(byt["dls"].slice(sl.start, n))
+            d["nd_total"] += int(cols["n_docs"][sl].sum())
+    return out
+
+
 def _term_block_meta(pdf, idf: dict) -> dict:
     """Group a postings frame into per-term RAW block metadata — no
     decode. Sorted (term, shard, block_id) like _decode_term_arrays,
     so each term's block ordinals are docid-ordered and disjoint
     (shard ranges partition the docid space in shard order).
+    Accepts a pandas frame (the Spark per-shard kernel's input) or a
+    pyarrow Table (the serving tiers' pruned read — dispatched to the
+    pandas-free _term_block_meta_arrow).
 
     Impact-ordered prefix rows (block_id < 0, written by the build when
     a (term, shard) list exceeds ``impact_min`` — index.IndexParams)
@@ -207,6 +305,8 @@ def _term_block_meta(pdf, idf: dict) -> dict:
     /``ideltas``…, sorted (shard, rank) so within a shard chunk k holds
     impact ranks [k·B, (k+1)·B)); the regular docid-block arrays never
     see them, so every existing consumer decodes each posting once."""
+    if not hasattr(pdf, "iloc"):    # pyarrow Table
+        return _term_block_meta_arrow(pdf, idf)
     keys = (["term", "shard", "block_id"] if "shard" in pdf.columns
             else ["term", "block_id"])
     has_shard = "shard" in pdf.columns
@@ -283,9 +383,14 @@ def _ensure_blocks(d: dict, st: dict, ords, k1: float, b: float,
     if not new:
         return 0
     na = np.asarray(new, dtype=np.int64)
-    dd, tf, dl = codec.decode_blocks_concat(
-        [d["deltas"][o] for o in new], [d["tfs"][o] for o in new],
-        [d["dls"][o] for o in new], d["nd"][na])
+    if hasattr(d["deltas"], "take"):    # _LazyBytes: one Arrow call
+        bufs = (d["deltas"].take(na), d["tfs"].take(na),
+                d["dls"].take(na))
+    else:
+        bufs = ([d["deltas"][o] for o in new],
+                [d["tfs"][o] for o in new],
+                [d["dls"][o] for o in new])
+    dd, tf, dl = codec.decode_blocks_concat(*bufs, d["nd"][na])
     sc = _bm25_scores(d, tf, dl, k1, b, avgdl)
     offs = np.concatenate([[0], np.cumsum(d["nd"][na])])
     for i, o in enumerate(new):
@@ -941,11 +1046,25 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
             ub0 = ist["floors"].get(int(s), float(iub[deepest])) if open_ \
                 else 0.0
             tails[s] = {"deepest": deepest, "open": open_, "ub": ub0}
+        # two-layer stream: "sd"/"ss" is the BASE (the memoized ist
+        # arrays, sorted score desc / docid asc) consumed from "qb";
+        # "d2"/"s2" is a small sorted DELTA holding postings folded
+        # THIS call, consumed from "q2". Folds merge into the delta
+        # only (one small lexsort); the delta compacts into the base
+        # when it reaches a quarter of it, so the full-stream resort
+        # the old per-flush merge paid on every round is amortized
+        # geometric — O(n log n) total instead of O(rounds · n log n)
+        # (the profiled quadratic-at-flush-granularity cost). The
+        # docid-lookup arrays layer identically ("ld"+"ld2").
         units[t] = {"ub": u_ub, "pref": u_pref, "ref": u_ref,
                     "order": order, "p": int(ist["n"]), "tails": tails,
                     "ist": ist, "segmask": segmask,
-                    "sd": ist["d"], "ss": ist["s"], "q": 0,
+                    "sd": ist["d"], "ss": ist["s"], "qb": 0,
+                    "d2": np.empty(0, dtype=np.int64), "s2": np.empty(0),
+                    "q2": 0,
                     "ld": ist["ld"], "ls": ist["ls"],
+                    "ld2": np.empty(0, dtype=np.int64),
+                    "ls2": np.empty(0),
                     "pending": [], "pend_np": 0, "pend_max": -np.inf}
 
     def _ta_probe(t, nf):
@@ -975,12 +1094,12 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
         return contrib, hit
 
     def _decode_unit(t: str, ui: int):
-        """Fold unit ``ui`` of term t into its memoized impact stream.
-        The per-call consumption pointer resets to 0 afterwards:
-        already-consumed docids regenerate as candidates and are
-        dropped by ``scored`` dedup, and a stream head that points at
-        a consumed posting only OVERestimates the unseen bound —
-        conservative, never wrong."""
+        """Fold unit ``ui`` of term t into the pending batch (merged
+        into the delta layer at the round's flush). The delta pointer
+        resets to 0 on merge: already-consumed docids regenerate as
+        candidates and are dropped by ``scored`` dedup, and a stream
+        head that points at a consumed posting only OVERestimates the
+        unseen bound — conservative, never wrong."""
         nonlocal n_pref, n_reg
         u = units[t]
         d = tb[t]
@@ -1020,28 +1139,70 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
 
     def _fold_flush(t: str):
         """Merge every unit folded since the last flush into the
-        memoized impact stream with ONE (score desc, docid asc) resort
-        and ONE docid-lookup resort, then reset the consumption
-        pointer exactly as the per-fold merge used to."""
+        DELTA layer (small lexsort + small docid resort), compacting
+        delta into base geometrically. Consumed delta postings are
+        kept and re-offered after a merge (q2 resets; ``scored``
+        dedup drops them — the same semantics the old full-stream
+        q=0 reset had), so the stream always contains every folded
+        posting and the head bounds stay valid."""
         u = units[t]
         if not u["pending"]:
             return
-        ist = u["ist"]
-        new_d = np.concatenate([ist["d"]] + [g[0] for g in u["pending"]])
-        new_s = np.concatenate([ist["s"]] + [g[1] for g in u["pending"]])
-        key = np.lexsort((new_d, -new_s))
-        ist["d"], ist["s"] = new_d[key], new_s[key]
-        ld = np.concatenate([ist["ld"]] + [g[0] for g in u["pending"]])
-        ls = np.concatenate([ist["ls"]] + [g[1] for g in u["pending"]])
+        pd_ = np.concatenate([u["d2"]] + [g[0] for g in u["pending"]])
+        ps_ = np.concatenate([u["s2"]] + [g[1] for g in u["pending"]])
+        key = np.lexsort((pd_, -ps_))
+        u["d2"], u["s2"], u["q2"] = pd_[key], ps_[key], 0
+        ld = np.concatenate([u["ld2"]] + [g[0] for g in u["pending"]])
+        ls = np.concatenate([u["ls2"]] + [g[1] for g in u["pending"]])
         dk = np.argsort(ld, kind="stable")
-        ist["ld"], ist["ls"] = ld[dk], ls[dk]
+        u["ld2"], u["ls2"] = ld[dk], ls[dk]
         u["pending"], u["pend_np"], u["pend_max"] = [], 0, -np.inf
-        u["sd"], u["ss"], u["q"] = ist["d"], ist["s"], 0
-        u["ld"], u["ls"] = ist["ld"], ist["ls"]
+        if u["s2"].size > max(4096, u["ss"].size // 4):
+            _compact(t)
+
+    def _compact(t: str):
+        """Fold the delta layers into the base (and into the memoized
+        ist, which must hold ALL folded postings at call boundaries —
+        the warm path re-consumes it with a fresh pointer)."""
+        u = units[t]
+        if not u["s2"].size:
+            return
+        ist = u["ist"]
+        nd = np.concatenate([u["sd"], u["d2"]])
+        ns = np.concatenate([u["ss"], u["s2"]])
+        key = np.lexsort((nd, -ns))
+        ist["d"], ist["s"] = nd[key], ns[key]
+        u["sd"], u["ss"], u["qb"] = ist["d"], ist["s"], 0
+        u["d2"], u["s2"], u["q2"] = np.empty(0, dtype=np.int64), \
+            np.empty(0), 0
+        ld = np.concatenate([u["ld"], u["ld2"]])
+        ls = np.concatenate([u["ls"], u["ls2"]])
+        dk = np.argsort(ld, kind="stable")
+        # u-local only: ist["ld"] is rebuilt from the segment stores
+        # at the next call's entry resync (ld_np bookkeeping)
+        u["ld"], u["ls"] = ld[dk], ls[dk]
+        u["ld2"], u["ls2"] = np.empty(0, dtype=np.int64), np.empty(0)
+
+    def _finalize():
+        """Call-exit invariant: ist holds every folded posting in one
+        sorted run (ist["n"] is the fold resume pointer — a stream
+        missing folded postings would underbound the term on the next
+        call)."""
+        for t in terms:
+            u = units.get(t)
+            if u is None:
+                continue
+            if u["pending"]:
+                _fold_flush(t)
+            _compact(t)
 
     def bound(t: str) -> float:
         u = units[t]
-        head = float(u["ss"][u["q"]]) if u["q"] < u["ss"].size else 0.0
+        head = float(u["ss"][u["qb"]]) if u["qb"] < u["ss"].size else 0.0
+        if u["q2"] < u["s2"].size:
+            head = max(head, float(u["s2"][u["q2"]]))
+        if u["pending"]:    # postings folded but not yet flushed
+            head = max(head, u["pend_max"])
         nxt = float(u["ub"][u["order"][u["p"]]]) if u["p"] < u["order"].size \
             else 0.0
         tail = max((x["ub"] for x in u["tails"].values()), default=0.0)
@@ -1083,21 +1244,19 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
             # keep the stream ahead of the unvisited units so
             # consumption approximates global impact order (the bound
             # stays valid either way; this only speeds convergence).
-            # avail/head replicate the old per-fold merge exactly: a
-            # fold resets consumption (q=0 at flush), so with pending
-            # chunks every stream posting counts as available again
-            # and the head is the global max decoded score.
+            # avail counts UNCONSUMED postings across base, delta and
+            # pending; head is the max over the three layer heads.
             while u["p"] < u["order"].size:
+                avail = (u["ss"].size - u["qb"]) \
+                    + (u["s2"].size - u["q2"]) + u["pend_np"]
+                head = -np.inf
+                if u["qb"] < u["ss"].size:
+                    head = float(u["ss"][u["qb"]])
+                if u["q2"] < u["s2"].size:
+                    head = max(head, float(u["s2"][u["q2"]]))
                 if u["pending"]:
-                    avail = u["ss"].size + u["pend_np"]
-                    head = u["pend_max"]
-                    if u["ss"].size:
-                        head = max(head, float(u["ss"][0]))
-                    has_head = avail > 0
-                else:
-                    avail = u["ss"].size - u["q"]
-                    has_head = u["q"] < u["ss"].size
-                    head = float(u["ss"][u["q"]]) if has_head else 0.0
+                    head = max(head, u["pend_max"])
+                has_head = np.isfinite(head)
                 if not (avail < batch
                         or (has_head
                             and u["ub"][u["order"][u["p"]]] >= head)):
@@ -1105,10 +1264,19 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
                 _decode_unit(t, int(u["order"][u["p"]]))
                 u["p"] += 1
             _fold_flush(t)
-            take = min(batch, u["ss"].size - u["q"])
+            # take up to ``batch`` candidates from EACH layer head —
+            # candidates are an unordered, scored-deduped set, so
+            # over-offering across layers only speeds θ convergence;
+            # the NRA prune drops the hopeless before any probe
+            take = min(batch, u["ss"].size - u["qb"])
             if take > 0:
-                cands.append(u["sd"][u["q"]:u["q"] + take])
-                u["q"] += take
+                cands.append(u["sd"][u["qb"]:u["qb"] + take])
+                u["qb"] += take
+                progressed = True
+            t2 = min(batch, u["s2"].size - u["q2"])
+            if t2 > 0:
+                cands.append(u["d2"][u["q2"]:u["q2"] + t2])
+                u["q2"] += t2
                 progressed = True
         if not progressed:
             if fellback or T <= 0.0:
@@ -1128,6 +1296,8 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
                     # not-found terms with zeroed tails) would wrongly
                     # prune docs whose postings never entered ld
                     units[t]["ld"], units[t]["ls"] = cat
+                    units[t]["ld2"] = np.empty(0, dtype=np.int64)
+                    units[t]["ls2"] = np.empty(0)
                 for tl in units[t]["tails"].values():
                     tl["ub"] = 0.0
             if not cands:
@@ -1154,14 +1324,16 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
         matched_f = np.zeros(cand.size, dtype=np.int32)
         for t in terms:
             u = units[t]
-            if u["ld"].size:
-                pos = np.searchsorted(u["ld"], cand)
-                pos_c = np.minimum(pos, u["ld"].size - 1)
-                hit = u["ld"][pos_c] == cand
-                ex = np.where(hit, u["ls"][pos_c], 0.0)
-            else:
-                hit = np.zeros(cand.size, dtype=bool)
-                ex = np.zeros(cand.size)
+            hit = np.zeros(cand.size, dtype=bool)
+            ex = np.zeros(cand.size)
+            for la, ls_ in ((u["ld"], u["ls"]), (u["ld2"], u["ls2"])):
+                if not la.size:
+                    continue
+                pos = np.searchsorted(la, cand)
+                pos_c = np.minimum(pos, la.size - 1)
+                h = la[pos_c] == cand
+                ex = np.where(h, ls_[pos_c], ex)
+                hit |= h
             exact_c[t], found_c[t] = ex, hit
             partial += ex
             matched_f += hit.astype(np.int32)
@@ -1220,6 +1392,7 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
             pool_ex = _add_pool(pool_ex, total[matched >= msm_req]
                                 if msm_req else total)
 
+    _finalize()
     if stats is not None:
         stats["prefix_ta"] = True
         stats["prefix_chunks_decoded"] = n_pref

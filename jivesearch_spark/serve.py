@@ -103,8 +103,11 @@ class LocalIndex:
         import pyarrow.dataset as ds
         flt = (ds.field("bucket").isin(self.buckets_of(terms))
                & ds.field("term").isin(terms))
-        return self._postings.to_table(
-            filter=flt, columns=_POSTING_COLS).to_pandas()
+        # Arrow table straight through: _term_block_meta groups it
+        # natively and keeps block bytes as lazy column views, so the
+        # cold path never pays a pandas conversion for postings whose
+        # blocks it ends up skipping
+        return self._postings.to_table(filter=flt, columns=_POSTING_COLS)
 
     # -- query ------------------------------------------------------------
     def topk(self, query: str, k: int = 10, use_wand: bool = True,
