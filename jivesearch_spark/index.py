@@ -92,6 +92,14 @@ class IndexParams:
     #: refuse to analyze queries for an index built under a different
     #: profile (analyze_query) — "" only in pre-versioning manifests
     analyzer_profile: str = ""
+    #: serving-layout knob: parquet row-group size for the postings
+    #: and term_stats writes. Each bucket is co-located into ONE
+    #: term-sorted file (see the stage-2 write), so row-group min/max
+    #: on ``term`` actually prunes — a query term's cold read then
+    #: touches O(its own row groups), not the whole bucket. 1 MiB ≈
+    #: 5-10k block rows per group here; at 10^12 docs the same layout
+    #: holds per bucket file (raise n_buckets with corpus size).
+    row_group_bytes: int = 1 << 20
 
     def __post_init__(self):
         if not self.analyzer_profile:
@@ -396,11 +404,22 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             tf.repartition(params.n_buckets, "bucket") \
                 .write.mode("overwrite").partitionBy("bucket").parquet(tf_path)
             stats_src = spark.read.parquet(tf_path)
+        # one term-sorted file per bucket (4x partitions ≈ no hash
+        # collisions → every bucket lands alone in its partition;
+        # partitionBy still splits any collided pair into its own
+        # file, sorted because bucket leads the sort key). Serving's
+        # stats_for then opens ONE footer per query bucket and prunes
+        # row groups by term min/max instead of scanning a
+        # file-per-shuffle-task directory.
         (stats_src.groupBy("term")
          .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
               F.first("bucket").alias("bucket"))
+         .repartition(4 * params.n_buckets, "bucket")
+         .sortWithinPartitions("bucket", "term")
          .observe(obs, F.sum("cf").alias("sum_dl"))
-         .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
+         .write.mode("overwrite").partitionBy("bucket")
+         .option("parquet.block.size", str(params.row_group_bytes))
+         .parquet(stats_path))
         sum_dl = float(obs.get["sum_dl"] or 0)
         log(f"[index] stage1: tf+stats +{time.time()-t0:.1f}s")
 
@@ -642,8 +661,34 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
             )
             from pyspark.sql import Observation
             obs = Observation(f"batch_{key}")
-            out = (part.mapInArrow(_encode_stream, schema=POSTINGS_SCHEMA)
-                   .observe(obs,
+            # co-locate each bucket's blocks into ONE term-sorted file
+            # (serving layout): the encode kernel's 3-wave partitions
+            # would otherwise leave ~n_enc_parts files per bucket dir,
+            # each spanning the full term alphabet — a cold pruned
+            # read then pays a footer+scan per FILE and row-group
+            # min/max on term prunes nothing (measured 30-40 ms to
+            # find a 26-row tail term at 2M docs). One sorted file
+            # per bucket with params.row_group_bytes groups makes the
+            # bucket dir behave like a term-keyed KV store: hive
+            # pruning picks the dir, one footer, narrow row-group
+            # term ranges prune the rest. The exchange this adds
+            # moves only compressed blocks (~100 B/row), and the
+            # write stage parallelism is one task per bucket — both
+            # negligible next to the encode, and identical at every
+            # cluster size (4x partitions ≈ collision-free hash →
+            # bucket→task is 1:1; sort leads with bucket so a
+            # collided pair still writes term-sorted per-bucket
+            # files). Total row order (term, shard, block_id) keeps
+            # output bytes parallelism-invariant (determinism gate).
+            enc = part.mapInArrow(_encode_stream, schema=POSTINGS_SCHEMA)
+            # JIVESEARCH_POSTINGS_COLOCATE=0 restores the shuffle-free
+            # many-files-per-bucket write (A/B attribution knob only —
+            # both halves of a scaling pair inherit the same default)
+            if os.environ.get("JIVESEARCH_POSTINGS_COLOCATE", "1") != "0":
+                enc = (enc.repartition(4 * max(1, len(batch)), "bucket")
+                       .sortWithinPartitions("bucket", "term", "shard",
+                                             "block_id"))
+            out = (enc.observe(obs,
                             F.count(F.lit(1)).alias("blocks"),
                             F.approx_count_distinct("term").alias("terms"),
                             F.sum("n_docs").alias("postings"),
@@ -653,7 +698,9 @@ def build_index(docs: DataFrame, out_dir: str, params: IndexParams | None = None
                 d = os.path.join(post_path, f"bucket={bk}")
                 if os.path.exists(d):
                     shutil.rmtree(d)
-            out.write.mode("append").partitionBy("bucket").parquet(post_path)
+            (out.write.mode("append").partitionBy("bucket")
+             .option("parquet.block.size", str(params.row_group_bytes))
+             .parquet(post_path))
 
             m = obs.get  # metrics harvested from the write job itself
             man.completed_batches[key] = {
@@ -749,7 +796,11 @@ def merge_indexes(spark, seg_dirs: list[str], out_dir: str,
     (staged.groupBy("term")
      .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"),
           F.first("bucket").alias("bucket"))
-     .write.mode("overwrite").partitionBy("bucket").parquet(stats_path))
+     .repartition(4 * params.n_buckets, "bucket")
+     .sortWithinPartitions("bucket", "term")
+     .write.mode("overwrite").partitionBy("bucket")
+     .option("parquet.block.size", str(params.row_group_bytes))
+     .parquet(stats_path))
     # merge doc_meta (dictionary + doc_lengths)
     srcs = [os.path.join(d, "doc_meta") for d in seg_dirs
             if os.path.exists(os.path.join(d, "doc_meta"))]
