@@ -369,6 +369,12 @@ class FieldedLocalIndex:
         self._cost_total = 0
         #: kernel stats of the last topk call
         self.last_stats: dict = {}
+        # exact result cache over the immutable snapshot (see
+        # serve.LocalIndex: the reference's frontend result cache,
+        # frontend/search.go:439-453, without the TTL staleness)
+        self._result_cache: "OrderedDict[tuple, list]" = OrderedDict()
+        self.result_cache_max = 50_000
+        self.result_cache_enabled = True
 
     def stats_for(self, field: str, terms: list[str]) -> dict[str, int]:
         import pyarrow.dataset as ds
@@ -402,6 +408,25 @@ class FieldedLocalIndex:
              tld_boost: str | None = None,
              min_should_match: bool = True,
              offset: int = 0, use_wand: bool = True) -> list[tuple[str, float]]:
+        import pyarrow.dataset as ds
+        ck = (query, k, shingles, tld_boost, min_should_match, offset,
+              use_wand)
+        if self.result_cache_enabled:
+            hit = self._result_cache.get(ck)
+            if hit is not None:
+                self._result_cache.move_to_end(ck)
+                self.last_stats = {"result_cache_hit": True}
+                return list(hit)
+        res = self._topk_kernel(query, k, shingles, tld_boost,
+                                min_should_match, offset, use_wand)
+        if self.result_cache_enabled:
+            self._result_cache[ck] = list(res)
+            while len(self._result_cache) > self.result_cache_max:
+                self._result_cache.popitem(last=False)
+        return res
+
+    def _topk_kernel(self, query, k, shingles, tld_boost,
+                     min_should_match, offset, use_wand):
         import pyarrow.dataset as ds
         plan = _query_plan(self, query, tld_boost)
         if plan is None:

@@ -82,6 +82,18 @@ class LocalIndex:
         #: per-query kernel stats of the LAST topk/topk_batch call:
         #: {query: {"blocks_decoded", "blocks_total", ...}}
         self.last_stats: dict[str, dict] = {}
+        # EXACT result cache — the serving analog of the reference's
+        # frontend result cache (frontend/search.go:439-453, 1 h TTL
+        # keyed on the full request). Ours needs no TTL: a LocalIndex
+        # holds one immutable published snapshot (manifest swap ⇒ new
+        # LocalIndex), so a (query, k, offset, msm, kernel) key maps
+        # to exactly one answer and a hit is provably identical to a
+        # recompute (pytest gate). Bounded LRU; ~100 B/entry.
+        self._result_cache: OrderedDict[tuple, list] = OrderedDict()
+        self.result_cache_max = 50_000
+        #: set False to force every query through the kernel (bench
+        #: uses this so published latencies measure scoring, not memo)
+        self.result_cache_enabled = True
 
     # -- lookups ----------------------------------------------------------
     def buckets_of(self, terms: list[str]) -> list[int]:
@@ -126,6 +138,40 @@ class LocalIndex:
         """Serve many queries with ONE pruned postings read (shared
         scan for the union of terms), then per-query kernels — the
         shape of a batched serving tier."""
+        out = {}
+        misses = queries
+        if self.result_cache_enabled:
+            misses = []
+            for q in queries:
+                key = (q, k, use_wand, min_should_match, offset)
+                hit = self._result_cache.get(key)
+                if hit is not None:
+                    self._result_cache.move_to_end(key)
+                    out[q] = list(hit)
+                else:
+                    misses.append(q)
+            if not misses:
+                self.last_stats = {q: {"result_cache_hit": True}
+                                   for q in queries}
+                return out
+        computed = self._topk_batch_kernel(misses, k, use_wand,
+                                           min_should_match, offset)
+        if self.result_cache_enabled:
+            for q, res in computed.items():
+                self._result_cache[(q, k, use_wand, min_should_match,
+                                    offset)] = list(res)
+            while len(self._result_cache) > self.result_cache_max:
+                self._result_cache.popitem(last=False)
+            for q in queries:
+                if q in out:
+                    self.last_stats.setdefault(
+                        q, {"result_cache_hit": True})
+        out.update(computed)
+        return out
+
+    def _topk_batch_kernel(self, queries: list[str], k: int,
+                           use_wand: bool, min_should_match: bool,
+                           offset: int):
         analyzed = {q: sorted(set(analyze_query(self.man, q)))
                     for q in queries}
         all_terms = sorted({t for ts in analyzed.values() for t in ts})

@@ -104,6 +104,7 @@ def test_evict_bounds_raw_block_tables(built):
     decoded-only budget a long-running tier accumulates raw bytes
     without bound (review finding, round 3)."""
     idx = LocalIndex(built)
+    idx.result_cache_enabled = False  # repeats must re-enter the kernel
     idx.term_cache_max_postings = 50  # tiny: force eviction every query
     qs = [q for q in QUERIES if q]
     want = {q: idx.topk(q, 10) for q in qs}
@@ -118,3 +119,33 @@ def test_evict_bounds_raw_block_tables(built):
     # correctness survives eviction: evicted terms re-read and re-score
     for q in qs:
         assert idx.topk(q, 10) == want[q], q
+
+
+def test_result_cache_exact_and_bounded(built):
+    """The result cache (reference analog: frontend/search.go:439-453)
+    must be EXACT over the immutable snapshot — a hit returns the
+    byte-same answer the kernel computes — and bounded LRU."""
+    idx = LocalIndex(built)
+    qs = [q for q in QUERIES if q]
+    # kernel answers with the cache bypassed are the truth
+    idx.result_cache_enabled = False
+    want = {(q, off): idx.topk(q, 10, offset=off)
+            for q in qs for off in (0, 3)}
+    idx.result_cache_enabled = True
+    for (q, off), w in want.items():     # miss → compute+store
+        assert idx.topk(q, 10, offset=off) == w, (q, off)
+    for (q, off), w in want.items():     # hit → identical
+        assert idx.topk(q, 10, offset=off) == w, (q, off)
+        assert idx.last_stats.get(q, {}).get("result_cache_hit"), q
+    # distinct (k, offset, msm, kernel) keys never collide
+    a = idx.topk(qs[0], 5)
+    b = idx.topk(qs[0], 10)
+    assert a == b[:5] and len(b) >= len(a)
+    # bounded: overflow evicts oldest, newest stays servable
+    idx.result_cache_max = 4
+    idx._result_cache.clear()
+    for i, (q, off) in enumerate(want):
+        idx.topk(q, 10, offset=off)
+    assert len(idx._result_cache) <= 4
+    q_last, off_last = list(want)[-1]
+    assert idx.topk(q_last, 10, offset=off_last) == want[(q_last, off_last)]
