@@ -786,7 +786,7 @@ SELECT media_id,
        CAST(16 + {_hexbyte_sql('hx', 0)}*4 AS INT) AS width,
        CAST(16 + {_hexbyte_sql('hx', 1)}*4 AS INT) AS height,
        round({_hexbyte_sql('hx', 11)}/255.0, 2) AS nsfw_score,
-       true AS ok
+       true AS ok, 'stub' AS decoder_mode, 'stub-digest' AS nsfw_model
 FROM p"""
 
 
@@ -952,7 +952,8 @@ def q_media_decode(spark, sf_dir):
     ]
     media = spark.createDataFrame(payloads, "media_id long, payload binary")
     return multimodal.decode_media(media, decoder="stub").select(
-        "media_id", "kind", "width", "height", "nsfw_score", "ok")
+        "media_id", "kind", "width", "height", "nsfw_score", "ok",
+        "decoder_mode", "nsfw_model")
 
 
 def q_lang_analyze(spark, sf_dir):

@@ -6,8 +6,14 @@ walking parent tags (``:28-41``: ``pt-BR``→brazilian, ``en-US``→
 english, unknown subtags fall back to the parent).  Analysis =
 tokenize → stopword filter → stem.
 
-Pinned here as profile "lang-v2" (``LANG_PROFILE``; v1 was the
-ASCII-tokenizer profile with six stop/stem sets — index manifests
+Pinned here as profile "lang-v3" (``LANG_PROFILE``; v1 was the
+ASCII-tokenizer profile with six stop/stem sets, v2 added ~28 pinned
+chains, v3 completes the reference's full 33-analyzer Setup() list
+(``document/elasticsearch.go:48-54``) — basque / galician / irish /
+sorani now have pinned chains (the reference creates their indices
+but leaves them unmapped to language tags, an explicit TODO at
+``:207-208``; we map eu/gl/ga/ckb to them) plus estonian (et, also a
+reference TODO) — index manifests
 record the profile at build time and readers refuse a mismatched
 version, so a spec change can never silently break doc/query rank
 identity): the pipeline below (Unicode word
@@ -41,7 +47,7 @@ from pyspark.sql.types import ArrayType, StringType
 
 #: pinned analyzer-spec version, recorded in index manifests
 #: (IndexParams.analyzer_profile) and checked at query-analysis time
-LANG_PROFILE = "lang-v2"
+LANG_PROFILE = "lang-v3"
 
 # ---------------------------------------------------------------------------
 # lang → analyzer resolution (document/elasticsearch.go:205-289, 28-41)
@@ -60,6 +66,11 @@ LANG_ANALYZER = {
     "ro": "romanian", "ru": "russian", "sv": "swedish", "th": "thai",
     "tr": "turkish", "vi": "cjk", "zh": "cjk", "zh-hans": "cjk",
     "zh-hant": "cjk",
+    # the four analyzers the reference creates indices for but leaves
+    # unmapped (elasticsearch.go:207-208 TODO) + estonian (":229" TODO)
+    # — mapped here to their natural tags so the chains are reachable
+    "eu": "basque", "gl": "galician", "ga": "irish", "ckb": "sorani",
+    "et": "estonian",
 }
 
 
@@ -369,6 +380,68 @@ ANALYZERS.update({
                              "leri", "lar", "ler", "ında", "inde", "dan",
                              "den", "tan", "ten", "da", "de", "ta", "te",
                              "ın", "in", "un", "ün", "ı", "i", "u", "ü"))),
+})
+
+def _ga_stem(w: str) -> str:
+    """Irish light (the shape of Lucene's IrishLowerCaseFilter +
+    snowball stemmer): strip an eclipsis cluster back to the radical
+    consonant (bhf→f, mb→b, gc→c, nd→d, bp→p, dt→t), then one
+    plural/derivational suffix. Hyphen/apostrophe prefixation forms
+    (t-uisce, d'uisce) are split by the tokenizer, so the detached
+    single-letter particles land in the stop set instead."""
+    for p in ("bhf", "mb", "gc", "nd", "bp", "dt"):
+        if w.startswith(p) and len(w) - len(p) >= 2:
+            w = w[len(p) - 1:]  # keep the radical consonant
+            break
+    return _GA_SUFFIX(w)
+
+
+_GA_SUFFIX = _light_stem(("a\u00edochta", "a\u00edocht", "eanna", "acha", "anna",
+                          "ach", "ean", "a\u00ed", "ta", "te", "\u00ed", "a", "e"))
+
+
+def _ckb_stem(w: str) -> str:
+    """Sorani: Lucene's SoraniNormalizationFilter shape (fold Arabic
+    kaf/yeh variants to Kurdish forms, drop tatweel/ZWNJ) then one
+    light suffix strip."""
+    w = (w.replace("\u0643", "\u06a9")   # \u0643 \u2192 \u06a9
+          .replace("\u064a", "\u06cc")   # \u064a \u2192 \u06cc
+          .replace("\u0649", "\u06cc")   # \u0649 \u2192 \u06cc
+          .replace("\u0640", "")          # tatweel
+          .replace("\u200c", ""))         # ZWNJ
+    return _CKB_SUFFIX(w)
+
+
+_CKB_SUFFIX = _light_stem(("\u06d5\u06a9\u0627\u0646\u06cc\u0627\u0646", "\u06d5\u06a9\u0627\u0646\u0645\u0627\u0646", "\u06d5\u06a9\u0627\u0646", "\u06d5\u06a9\u06d5\u06cc", "\u06d5\u06a9\u06d5",
+                           "\u06a9\u0627\u0646", "\u06cc\u0627\u0646", "\u0645\u0627\u0646", "\u062a\u0627\u0646", "\u06ce\u06a9\u06cc", "\u06ce\u06a9",
+                           "\u06d5\u0648\u06d5", "\u062f\u0627", "\u0627\u0646", "\u06d5", "\u06cc"), min_len=3)
+
+
+ANALYZERS.update({
+    # the four reference analyzers with no lang mapping yet
+    # (elasticsearch.go:207-208) + estonian \u2014 pinned light chains
+    "basque": (frozenset("eta edo ez da dira zen bat hau hori du dute ere "
+                         "baina zer bere izan den ditu".split()),
+               _light_stem(("tzailea", "tasuna", "tasun", "tzeko", "etako",
+                            "etan", "aren", "ekin", "ari", "ak", "ek", "en",
+                            "an", "ra", "tik", "a", "e", "o"))),
+    "galician": (frozenset("o a os as de que e do da en un unha para con "
+                           "non por se na no ao como".split()),
+                 _light_stem(("amentos", "amento", "aci\u00f3ns", "aci\u00f3n",
+                              "ci\u00f3ns", "ci\u00f3n", "cion", "adores", "ador",
+                              "istas", "ista", "os", "as", "es", "o", "a",
+                              "e"))),
+    # trailing single letters = detached prefixation particles
+    # (t-uisce / n-\u00e9an / d'\u00f3l split at the hyphen/apostrophe)
+    "irish": (frozenset("agus an na is ar go do le i a ag s\u00e9 s\u00ed ach n\u00f3 mar "
+                        "\u00f3 at\u00e1 bh\u00ed n\u00ed t n d m h b".split()), _ga_stem),
+    "sorani": (frozenset("\u0648 \u0644\u06d5 \u0628\u06d5 \u06a9\u06d5 \u0628\u06c6 \u0626\u06d5\u0645 \u0626\u06d5\u0648 \u062f\u0627 \u0647\u06d5\u0631 \u0644\u06d5\u06af\u06d5\u06b5 \u06a9\u0631\u062f \u0628\u0648\u0648 \u0626\u06d5\u0648\u06d5 "
+                         "\u0628\u06d5\u06b5\u0627\u0645 \u0647\u06d5\u06cc\u06d5".split()), _ckb_stem),
+    "estonian": (frozenset("ja on ei et kui ta oli see ka ning aga mis v\u00f5i "
+                           "oma siis nii".split()),
+                 _light_stem(("tega", "dega", "desse", "sse", "ga", "ks",
+                              "le", "lt", "st", "ni", "na", "te", "de",
+                              "id", "d", "t"))),
 })
 
 _CJK = re.compile("([\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uac00-\ud7af\uf900-\ufaff]+)")

@@ -374,6 +374,11 @@ class FieldedLocalIndex:
         # frontend/search.go:439-453, without the TTL staleness)
         self._result_cache: "OrderedDict[tuple, list]" = OrderedDict()
         self.result_cache_max = 50_000
+        # budgeted by total cached (url, score) tuples — URL strings
+        # make each tuple even heavier than serve.LocalIndex's, so an
+        # entry-count cap alone scales memory with caller-chosen k
+        self.result_cache_max_tuples = 500_000
+        self._result_cache_tuples = 0
         self.result_cache_enabled = True
 
     def stats_for(self, field: str, terms: list[str]) -> dict[str, int]:
@@ -408,7 +413,6 @@ class FieldedLocalIndex:
              tld_boost: str | None = None,
              min_should_match: bool = True,
              offset: int = 0, use_wand: bool = True) -> list[tuple[str, float]]:
-        import pyarrow.dataset as ds
         ck = (query, k, shingles, tld_boost, min_should_match, offset,
               use_wand)
         if self.result_cache_enabled:
@@ -420,9 +424,17 @@ class FieldedLocalIndex:
         res = self._topk_kernel(query, k, shingles, tld_boost,
                                 min_should_match, offset, use_wand)
         if self.result_cache_enabled:
+            old = self._result_cache.pop(ck, None)
+            if old is not None:
+                self._result_cache_tuples -= len(old)
             self._result_cache[ck] = list(res)
-            while len(self._result_cache) > self.result_cache_max:
-                self._result_cache.popitem(last=False)
+            self._result_cache_tuples += len(res)
+            while self._result_cache and (
+                    len(self._result_cache) > self.result_cache_max
+                    or self._result_cache_tuples
+                    > self.result_cache_max_tuples):
+                _, old = self._result_cache.popitem(last=False)
+                self._result_cache_tuples -= len(old)
         return res
 
     def _topk_kernel(self, query, k, shingles, tld_boost,

@@ -88,9 +88,15 @@ class LocalIndex:
         # holds one immutable published snapshot (manifest swap ⇒ new
         # LocalIndex), so a (query, k, offset, msm, kernel) key maps
         # to exactly one answer and a hit is provably identical to a
-        # recompute (pytest gate). Bounded LRU; ~100 B/entry.
+        # recompute (pytest gate). Bounded LRU, budgeted by TOTAL
+        # cached result tuples: a (docid, score) tuple costs ~120 B of
+        # Python object overhead, so an entry-count cap alone would
+        # let a deep-paging / large-k caller grow memory by k× per
+        # entry. Entry-count cap stays as a secondary bound.
         self._result_cache: OrderedDict[tuple, list] = OrderedDict()
         self.result_cache_max = 50_000
+        self.result_cache_max_tuples = 500_000
+        self._result_cache_tuples = 0
         #: set False to force every query through the kernel (bench
         #: uses this so published latencies measure scoring, not memo)
         self.result_cache_enabled = True
@@ -158,10 +164,18 @@ class LocalIndex:
                                            min_should_match, offset)
         if self.result_cache_enabled:
             for q, res in computed.items():
-                self._result_cache[(q, k, use_wand, min_should_match,
-                                    offset)] = list(res)
-            while len(self._result_cache) > self.result_cache_max:
-                self._result_cache.popitem(last=False)
+                key = (q, k, use_wand, min_should_match, offset)
+                old = self._result_cache.pop(key, None)
+                if old is not None:
+                    self._result_cache_tuples -= len(old)
+                self._result_cache[key] = list(res)
+                self._result_cache_tuples += len(res)
+            while self._result_cache and (
+                    len(self._result_cache) > self.result_cache_max
+                    or self._result_cache_tuples
+                    > self.result_cache_max_tuples):
+                _, old = self._result_cache.popitem(last=False)
+                self._result_cache_tuples -= len(old)
             for q in queries:
                 if q in out:
                     self.last_stats.setdefault(
@@ -172,6 +186,10 @@ class LocalIndex:
     def _topk_batch_kernel(self, queries: list[str], k: int,
                            use_wand: bool, min_should_match: bool,
                            offset: int):
+        # reset up front so the early returns below don't leave the
+        # PREVIOUS call's per-query stats for topk_batch to merge
+        # cache-hit markers into
+        self.last_stats = {}
         analyzed = {q: sorted(set(analyze_query(self.man, q)))
                     for q in queries}
         all_terms = sorted({t for ts in analyzed.values() for t in ts})
@@ -203,7 +221,6 @@ class LocalIndex:
         if not tb_all:
             return {q: [] for q in queries}
 
-        self.last_stats = {}
         out = {}
         for q in queries:
             q_terms = analyzed[q]

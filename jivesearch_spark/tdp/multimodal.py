@@ -25,7 +25,15 @@ from pyspark.sql import functions as F
 from ..session import ensure_shipped
 
 MEDIA_SCHEMA = ("media_id long, kind string, width int, height int, "
-                "n_frames int, feature array<float>, nsfw_score double, ok boolean")
+                "n_frames int, feature array<float>, nsfw_score double, "
+                "ok boolean, decoder_mode string, nsfw_model string")
+
+#: provenance value stamped on every row while no real classifier is
+#: wired in: nsfw_score is sha256-digest fiction in EVERY decoder mode
+#: (the reference calls a real NSFW net, image/cmd/images.go:153-208).
+#: Downstream consumers filter on it / safe_filter refuses it by
+#: default — a stub score can no longer masquerade as a real one.
+NSFW_MODEL_STUB = "stub-digest"
 
 _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "image/png"),
@@ -235,19 +243,24 @@ def decode_media(media: DataFrame, id_col: str = "media_id",
         mode = available_decoder() if decoder == "auto" else decoder
         decode_one = {"pil": _pil_decode,
                       "headers": _headers_decode}.get(mode, _stub_decode)
+        if decode_one is _stub_decode:
+            mode = "stub"
         for pdf in batch_iter:
             rows = []
             for mid, data in zip(pdf["id"], pdf["payload"]):
                 data = bytes(data) if data is not None else b""
                 kind, dec = decode_one(data, feature_dim)
                 if dec is None:
-                    rows.append((mid, kind, None, None, None, None, None, False))
+                    rows.append((mid, kind, None, None, None, None, None,
+                                 False, mode, None))
                 else:
                     w, h, nf, feat, nsfw = dec
-                    rows.append((mid, kind, w, h, nf, feat, nsfw, True))
+                    rows.append((mid, kind, w, h, nf, feat, nsfw, True,
+                                 mode, NSFW_MODEL_STUB))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "kind", "width", "height", "n_frames",
-                "feature", "nsfw_score", "ok"])
+                "feature", "nsfw_score", "ok", "decoder_mode",
+                "nsfw_model"])
 
     src = media.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
     return src.mapInPandas(_decode, schema=MEDIA_SCHEMA)
@@ -375,9 +388,23 @@ def sample_frames(media: DataFrame, every_n: int = 8,
     return src.mapInPandas(_sample, schema=FRAME_SCHEMA)
 
 
-def safe_filter(decoded: DataFrame, threshold: float = 0.5, safe: bool = True) -> DataFrame:
+def safe_filter(decoded: DataFrame, threshold: float = 0.5,
+                safe: bool = True,
+                allow_stub_scores: bool = False) -> DataFrame:
     """Reference safe-search predicate (image/elasticsearch.go:26-58):
-    safe ⇒ nsfw_score < threshold, unsafe ⇒ ≥ threshold."""
+    safe ⇒ nsfw_score < threshold, unsafe ⇒ ≥ threshold.
+
+    Refuses fiction by default: when ``decoded`` carries the
+    ``nsfw_model`` provenance column (everything out of decode_media
+    does) and no real classifier produced the scores, this raises
+    instead of silently filtering on digest noise. Pass
+    ``allow_stub_scores=True`` to opt in (tests / plumbing checks)."""
+    if not allow_stub_scores and "nsfw_model" in decoded.columns:
+        raise ValueError(
+            "nsfw_score values are stub (nsfw_model column present — "
+            f"decode_media stamps '{NSFW_MODEL_STUB}' until a real "
+            "classifier is wired in); filtering on them is noise. Pass "
+            "allow_stub_scores=True to proceed anyway.")
     cond = F.col("nsfw_score") < threshold if safe else F.col("nsfw_score") >= threshold
     return decoded.where(F.col("ok") & cond)
 

@@ -133,6 +133,18 @@ def test_thai_run_bigrams():
     assert runs and all(len(t) == 2 for t in runs)
 
 
+#: the reference's COMPLETE analyzer list — one ES index per name
+#: (document/elasticsearch.go:48-54, Setup())
+REFERENCE_ANALYZERS = [
+    "arabic", "armenian", "basque", "brazilian", "bulgarian", "catalan",
+    "cjk", "czech", "danish", "dutch", "english", "finnish", "french",
+    "galician", "german", "greek", "hindi", "hungarian", "indonesian",
+    "irish", "italian", "latvian", "lithuanian", "norwegian", "persian",
+    "portuguese", "romanian", "russian", "sorani", "spanish", "swedish",
+    "turkish", "thai",
+]
+
+
 def test_all_reference_analyzers_pinned():
     # every analyzer name the reference maps (elasticsearch.go:205-289)
     # has a pinned profile (stop+stem) or a dedicated pipeline
@@ -140,6 +152,53 @@ def test_all_reference_analyzers_pinned():
     special = {"cjk", "thai"}
     missing = mapped - special - set(al.ANALYZERS)
     assert not missing, missing
+
+
+def test_full_reference_setup_list_pinned():
+    # lang-v3: every analyzer in the reference's Setup() slice resolves
+    # to a pinned chain — nothing silently falls back to standard
+    assert len(REFERENCE_ANALYZERS) == 33
+    special = {"cjk", "thai"}
+    missing = set(REFERENCE_ANALYZERS) - special - set(al.ANALYZERS)
+    assert not missing, missing
+    # and each previously-unmapped analyzer is now reachable by tag
+    assert al.analyzer_for("eu") == "basque"
+    assert al.analyzer_for("gl") == "galician"
+    assert al.analyzer_for("ga") == "irish"
+    assert al.analyzer_for("ckb") == "sorani"
+    assert al.analyzer_for("et") == "estonian"
+
+
+def test_basque_pipeline():
+    toks = al.py_tokens_lang("etxeak eta mendiak", "basque")
+    assert "eta" not in toks                      # stopword
+    assert toks == ["etxe", "mendi"]              # -ak strip
+
+
+def test_galician_pipeline():
+    toks = al.py_tokens_lang("as casas do concello", "galician")
+    assert toks == ["cas", "concell"]
+
+
+def test_irish_prefix_strip():
+    # t-prefixation splits at the hyphen; the detached "t" particle is
+    # a stopword; "uisce" loses the final vowel like the snowball stem
+    assert al.py_tokens_lang("an t-uisce", "irish") == ["uisc"]
+    toks = al.py_tokens_lang("na gcapall", "irish")
+    assert toks == ["capall"]                     # gc → c radical
+
+
+def test_sorani_normalization():
+    # Arabic kaf/yeh fold to Kurdish forms before suffix strip
+    assert al.py_tokens_lang("كتاب", "sorani") == ["کتاب"]
+    toks = al.py_tokens_lang("کتابەکان", "sorani")
+    assert toks == ["کتاب"]                       # ەکان strip
+
+
+def test_estonian_pipeline():
+    toks = al.py_tokens_lang("raamatutega ja lauaga", "estonian")
+    assert "ja" not in toks
+    assert toks == ["raamatu", "laua"]
 
 
 def test_cjk_bigrams():

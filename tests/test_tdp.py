@@ -290,9 +290,17 @@ def test_multimodal_stub_plumbing(spark):
     # deterministic: same payload → same features
     out2 = {r.media_id: r for r in multimodal.decode_media(media).collect()}
     assert out2[1].feature == by_id[1].feature
-    # safe filter + one-per-group
+    # provenance columns: decoder mode + stub-score marker on every
+    # decoded row (ok=False rows carry mode but no score provenance)
+    assert by_id[1].decoder_mode in ("stub", "headers", "pil")
+    assert by_id[1].nsfw_model == multimodal.NSFW_MODEL_STUB
+    assert by_id[5].nsfw_model is None
+    # safe filter refuses stub scores unless explicitly allowed
     dec = multimodal.decode_media(media)
-    safe = multimodal.safe_filter(dec, threshold=1.1, safe=True)
+    with pytest.raises(ValueError, match="stub"):
+        multimodal.safe_filter(dec, threshold=1.1, safe=True)
+    safe = multimodal.safe_filter(dec, threshold=1.1, safe=True,
+                                  allow_stub_scores=True)
     assert safe.count() == 4
 
 
