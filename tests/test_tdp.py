@@ -24,6 +24,60 @@ def emb(spark):
     return e
 
 
+def test_byte_tokenizer_identical_to_per_doc():
+    """The vectorized byte-level tokenizer+hasher must produce hashes
+    identical to the per-doc py_tokens + md5 reference on every input:
+    Unicode (incl. İ / K — the two code points whose lower() maps into
+    ASCII token space, which force the whole-batch fallback), empties,
+    nulls, >16-byte tokens, and printable fuzz."""
+    import random
+    import string
+
+    import pandas as pd
+    import pyarrow as pa
+
+    cases = ["Hello WORLD 123", "", None, "  punct!~@#  split  ",
+             "İstanbul is in Türkiye", "Kelvin K sign 5K", "café crème",
+             "a" * 40 + " " + "b" * 10, "ABC_def-GHI.jkl", "x",
+             "multi\ndoc\ttext with 999 numbers", "中文 tokens mixed a42",
+             "end-token", "9", "Z" * 16, "Q" * 17, "exactly16bytes00"]
+    random.seed(7)
+    alpha = string.printable + "Ééßİ K中文😀"
+    cases += ["".join(random.choice(alpha)
+                      for _ in range(random.randrange(0, 200)))
+              for _ in range(500)]
+    th1, o1, n1 = dedup._batch_token_hashes(pd.Series(cases), {})
+    th2, o2, n2 = dedup._batch_token_hashes_slow(
+        pa.array(cases, type=pa.string(), from_pandas=True), {})
+    assert n1 == n2 and (o1 == o2).all() and (th1 == th2).all()
+
+
+def test_sketch_chunking_identical_to_minhash_sig():
+    """_sketch_into (cache-resident chunked, scratch-buffer sketch)
+    must be bit-identical to the reference _minhash_sig per segment —
+    including with a chunk budget small enough to force many chunks
+    and segments larger than the budget."""
+    rng = np.random.default_rng(3)
+    n_docs = 40
+    seg_lens = rng.integers(1, 400, size=n_docs)
+    seg_lens[5] = 5000   # a segment far above the tiny chunk budget
+    gv = rng.integers(0, dedup.MERSENNE_P, size=int(seg_lens.sum()),
+                      dtype=np.int64).astype(np.uint64)
+    seg_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(seg_lens, out=seg_offs[1:])
+    seg_doc = np.arange(n_docs, dtype=np.int64)
+    a_vec, b_vec = dedup._minhash_params(16)
+    a, b = a_vec.astype(np.uint64), b_vec.astype(np.uint64)
+    p = np.uint64(dedup.MERSENNE_P)
+    import unittest.mock as mock
+    mat = np.full((n_docs, 16), dedup.MERSENNE_P, dtype=np.uint64)
+    with mock.patch.object(dedup, "_SKETCH_CHUNK", 512):
+        dedup._sketch_into(mat, gv, seg_offs, seg_doc, a, b, p, 16)
+    for s in range(n_docs):
+        ref = dedup._minhash_sig(gv[seg_offs[s]:seg_offs[s + 1]], a, b)
+        assert (mat[s] == ref).all(), s
+
+
 @pytest.mark.spark
 def test_exact_dedup_groups_match_duckdb(spark, docs):
     got = {(r.text_hash, r.keep_id, r.n_dups)
