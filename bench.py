@@ -1243,13 +1243,23 @@ def main():
 
     # serving throughput: the 6-query set replayed as batches (shared
     # pruned scan per batch) — queries/sec a single serving process
-    # sustains
+    # sustains. Window-stamped on its own (round-4 verdict ask #2: this
+    # exact number regressed 404 → 216 in r4 with only prose storm
+    # attribution — the probe before + after bounds the replay window,
+    # so a reader can tell a regression from interference).
+    s_steal, s_foreign = quick_interference()
     qs_only = [q for _, q in BENCH_QUERIES]
     t0 = time.time()
     reps_qps = 20
     for _ in range(reps_qps):
         local.topk_batch(qs_only, 10, use_wand=True)
     results["serve_qps"] = round(reps_qps * len(qs_only) / (time.time() - t0), 1)
+    s_steal2, s_foreign2 = quick_interference()
+    results["serve_window_interference"] = [s_steal, s_foreign,
+                                            s_steal2, s_foreign2]
+    results["serve_window_dirty"] = (
+        max(s_steal, s_steal2) > CLEAN_STEAL_FRAC
+        or max(s_foreign, s_foreign2) > CLEAN_FOREIGN_MEAN)
 
     # the same replay with the EXACT result cache on (default serving
     # config — the reference's frontend result cache analog,

@@ -929,6 +929,85 @@ def _topk_impact_ordered(dense: dict, k: int, msm_req: int,
     return cand[idx].astype(np.int64), total[idx]
 
 
+#: candidate-flood threshold that flips the prefix-TA sweep into the
+#: vectorized dense merge: a sweep that has consumed this many
+#: candidates without terminating is in the regime where the NRA bound
+#: cannot separate (≥3 independent dense terms — an unseen doc holding
+#: every term is always possible until the lists exhaust), so finishing
+#: exhaustively-but-vectorized is strictly cheaper than continuing to
+#: probe per candidate batch.
+_DENSE_MERGE_CANDS = 65536
+
+
+def _topk_dense_merge(dense: dict, k: int, msm_req: int):
+    """Exhaustive vectorized finisher for the all-dense multi-term
+    regime (round-4 verdict ask #1 — the 5-term stress used to decode
+    95% of blocks AND then pay the per-candidate probe machinery over
+    millions of candidates).
+
+    One pass, no per-candidate work: per-term scatter-add of decoded
+    scores into a dense docid-span array (each docid appears at most
+    once per term, so the scatter is exact placement, and the
+    cross-term accumulation runs elementwise in sorted-key order —
+    adding 0.0 for absent terms is an IEEE identity, so totals are
+    float-bit-identical to the brute per-candidate accumulation rule),
+    plus an int scatter for msm counts. Top-k selection partitions on
+    round(score, 9) and resolves the boundary with the pinned
+    (-rounded, docid) lexsort over the ≥-threshold pool only — the
+    same result set as a full-array lexsort. Sparse/re-id'd docid
+    spaces fall back to a (docid, term-position) lexsort + segmented
+    reduceat, which preserves the same per-doc accumulation order.
+
+    Cost: O(total postings) decode (batched varint —
+    codec.decode_blocks_concat) + O(span) scatter + O(n) partition —
+    independent of k's convergence behavior, which is what bounds the
+    cold path when every pruning bound is flat."""
+    zero = (np.empty(0, dtype=np.int64), np.empty(0))
+    names = sorted(dense)
+    parts = [dense[t] for t in names if dense[t]["docids"].size]
+    if not parts:
+        return zero
+    total_np = sum(p["docids"].size for p in parts)
+    lo = min(int(p["docids"].min()) for p in parts)
+    hi = max(int(p["docids"].max()) for p in parts)
+    span = hi - lo + 1
+    if span <= max(4 * total_np, 1 << 22):
+        tot = np.zeros(span)
+        cnt = np.zeros(span, dtype=np.int32)
+        for p in parts:
+            d = p["docids"] - lo
+            tot[d] += p["scores"]
+            cnt[d] += 1
+        live = np.flatnonzero(cnt >= max(msm_req, 1))
+        if live.size == 0:
+            return zero
+        cand = (live + lo).astype(np.int64)
+        total = tot[live]
+    else:
+        dd = np.concatenate([p["docids"] for p in parts])
+        ss = np.concatenate([p["scores"] for p in parts])
+        ti = np.concatenate([np.full(p["docids"].size, i, dtype=np.int32)
+                             for i, p in enumerate(parts)])
+        key = np.lexsort((ti, dd))
+        dd, ss = dd[key], ss[key]
+        starts = np.flatnonzero(np.diff(dd, prepend=dd[0] - 1))
+        cand = dd[starts].astype(np.int64)
+        total = np.add.reduceat(ss, starts)
+        if msm_req:
+            m = np.diff(np.append(starts, dd.size)) >= msm_req
+            cand, total = cand[m], total[m]
+        if cand.size == 0:
+            return zero
+    kloc = min(k, cand.size)
+    r = np.round(total, 9)
+    if cand.size > 4 * k:
+        thr = np.partition(r, cand.size - kloc)[cand.size - kloc]
+        pool = np.flatnonzero(r >= thr)     # ⊇ the true top-k incl. ties
+        cand, total, r = cand[pool], total[pool], r[pool]
+    idx = np.lexsort((cand, -r))[:kloc]
+    return cand[idx], total[idx]
+
+
 def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
                         k1: float, b: float, avgdl: float,
                         store: dict, stats: dict | None = None,
@@ -1233,10 +1312,44 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
         if pool.size >= k:
             theta = max(theta, float(pool.min()))
         return pool
+    def _dense_merge_finish():
+        """Flip to the vectorized exhaustive merge: flush the memoized
+        streams (call-exit invariant), bulk-decode everything (batched
+        varint, memoized on tb as ``dense`` — the eviction accounting
+        already charges it), and return the one-pass scatter-sum
+        top-k. Rank-identical to continuing the sweep: the merge
+        computes complete exact totals for every doc, superseding the
+        partial got_* pools."""
+        _finalize()
+        dense = _dense_arrays_from_tb(tb, k1, b, avgdl)
+        if stats is not None:
+            stats["prefix_ta"] = True
+            stats["prefix_chunks_decoded"] = n_pref
+            stats["prefix_chunks_total"] = int(
+                sum(tb[t]["iub"].size for t in terms
+                    if tb[t].get("iub") is not None))
+            stats["blocks_decoded"] = (blocks_total
+                                       if blocks_total is not None
+                                       else n_reg)
+            if blocks_total is not None:
+                stats["blocks_total"] = blocks_total
+            stats["dense_bailout"] = True
+            stats["dense_merge"] = True
+        return _topk_dense_merge(dense, k, msm_req)
+
     while True:
         T = float(np.sum([bound(t) for t in terms]))
         if n_ok >= k and theta - T > _TA_SLACK:
             break
+        # all-dense regime detector: ≥3 terms whose candidate flood
+        # has outgrown the threshold means the NRA bound is not
+        # separating (independent dense lists — an unseen doc holding
+        # every term stays possible until exhaustion), and each
+        # further round pays probe machinery over ever-larger
+        # candidate sets. The exhaustive merge is then strictly
+        # cheaper AND bounded: O(total postings), not O(rounds·flood).
+        if len(terms) >= 3 and scored.size > _DENSE_MERGE_CANDS:
+            return _dense_merge_finish()
         cands = []
         progressed = False
         for t in terms:
@@ -1279,29 +1392,14 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
                 u["q2"] += t2
                 progressed = True
         if not progressed:
-            if fellback or T <= 0.0:
+            if T <= 0.0:
                 break
             # prefixes exhausted without separation (degenerate
-            # uniform corpus) — decode everything once and finish
+            # uniform corpus) — finish with the vectorized exhaustive
+            # merge (decode-all is unavoidable here; the merge replaces
+            # the old decode-then-re-probe loop)
             fellback = True
-            for t in terms:
-                d = tb[t]
-                n_reg += _ensure_blocks(d, store[t],
-                                        np.arange(d["ub"].size), k1, b, avgdl)
-                cat = _seg_lookup(store[t], np.arange(d["ub"].size))
-                if cat[0].size:
-                    cands.append(cat[0])
-                    # the full list is decoded now: promote it to the
-                    # exact-lookup arrays, or the NRA bound (0 for
-                    # not-found terms with zeroed tails) would wrongly
-                    # prune docs whose postings never entered ld
-                    units[t]["ld"], units[t]["ls"] = cat
-                    units[t]["ld2"] = np.empty(0, dtype=np.int64)
-                    units[t]["ls2"] = np.empty(0)
-                for tl in units[t]["tails"].values():
-                    tl["ub"] = 0.0
-            if not cands:
-                break
+            return _dense_merge_finish()
         batch = min(batch * 2, 4096)
         if not cands:
             continue

@@ -249,6 +249,29 @@ class LocalIndex:
         self._evict(touched=live)
         return out
 
+    def _decoded_cost(self, t: str) -> int:
+        """Posting-equivalent memory cost of one cached term — the
+        quantity _evict budgets. Derived from the ACTUAL live arrays
+        (not a counter that could drift), which is also what lets the
+        adversarial-replay pytest verify the accounted total against
+        ground truth."""
+        st = self._store.get(t, {})
+        n = st.get("np", 0)
+        ist = st.get("istream")
+        if ist is not None:
+            # memoized TA stream + docid lookup: 2 extra
+            # (docid, score) copies of every folded posting
+            n += 2 * int(ist["d"].size)
+        meta = self._meta_cache.get(t)
+        if meta is not None:
+            if meta.get("dense") is not None:
+                n += int(meta["dense"][0].size)
+            order = meta.get("impact_order")
+            if order is not None:
+                n += int(order.size)
+            n += meta.get("nd_total", 0) // 4
+        return n
+
     def _evict(self, touched=()):
         """LRU-evict terms until decoded postings fit the budget.
         Decoded cost per term = lazily-decoded segment postings (docid
@@ -262,26 +285,8 @@ class LocalIndex:
         bound. Only ``touched`` terms are recharged (their artifacts
         are the only ones a query can change), so the per-query cost
         is O(|Q| + evictions), not O(cached terms)."""
-        def decoded(t):
-            st = self._store.get(t, {})
-            n = st.get("np", 0)
-            ist = st.get("istream")
-            if ist is not None:
-                # memoized TA stream + docid lookup: 2 extra
-                # (docid, score) copies of every folded posting
-                n += 2 * int(ist["d"].size)
-            meta = self._meta_cache.get(t)
-            if meta is not None:
-                if meta.get("dense") is not None:
-                    n += int(meta["dense"][0].size)
-                order = meta.get("impact_order")
-                if order is not None:
-                    n += int(order.size)
-                n += meta.get("nd_total", 0) // 4
-            return n
-
         for t in touched:
-            new = decoded(t) if t in self._meta_cache else 0
+            new = self._decoded_cost(t) if t in self._meta_cache else 0
             self._cost_total += new - self._cost.get(t, 0)
             if new:
                 self._cost[t] = new
