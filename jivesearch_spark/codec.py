@@ -48,7 +48,7 @@ def varint_encode(values: np.ndarray) -> bytes:
     return mat[mask].tobytes()
 
 
-def varint_decode(buf: bytes, count: int) -> np.ndarray:
+def varint_decode(buf: bytes, count: int, compact: bool = False) -> np.ndarray:
     """Decode ``count`` LEB128 values from ``buf`` (vectorized).
 
     Fast paths for the common shapes in posting data: all-1-byte
@@ -56,30 +56,52 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
     multi-byte loop gathers only the still-active values per level
     instead of materializing a (count × max_len) matrix — the decode
     is the serving hot path (one call per posting stream per query).
+
+    ``compact=True`` skips the uint64 widening where possible: an
+    all-1-byte stream returns the zero-copy uint8 view of ``buf``
+    itself (read-only). Bulk decode paths (millions of postings) use
+    it to avoid an 8× memory-expansion pass; numpy arithmetic promotes
+    the dtype as needed downstream.
     """
     if count == 0:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
     if len(raw) == count:        # every value < 128: bytes ARE the values
-        return raw.astype(np.uint64)
-    is_end = (raw & 0x80) == 0
-    ends = np.flatnonzero(is_end)[:count]
-    starts = np.empty(count, dtype=np.int64)
-    starts[0] = 0
-    starts[1:] = ends[:-1] + 1
-    lengths = ends - starts + 1
-    k = int(lengths.max())
-    out = (raw[starts] & np.uint64(0x7F)).astype(np.uint64)
-    active = np.flatnonzero(lengths > 1)
-    idx = starts[active]
-    for j in range(1, k):
-        idx = idx + 1
-        out[active] |= ((raw[idx] & np.uint64(0x7F)).astype(np.uint64)
-                        << np.uint64(7 * j))
-        if j + 1 < k:
-            still = lengths[active] > j + 1
-            active = active[still]
-            idx = idx[still]
+        return raw if compact else raw.astype(np.uint64)
+    # mixed stream: pay O(multi-byte values), not O(values). Posting
+    # streams are overwhelmingly 1-byte (only block-start absolute
+    # docids and rare >127 gaps go long), so the hot path is: start
+    # from the END byte of every value (1-byte values ARE their end
+    # byte), then patch the few multi-byte values assembled from the
+    # continuation-byte runs.
+    cont = raw >= 0x80
+    out = raw[~cont][:count].astype(np.uint64)
+    cont_pos = np.flatnonzero(cont)
+    if cont_pos.size:
+        brk = np.flatnonzero(np.diff(cont_pos) > 1) + 1
+        r0 = np.concatenate([[0], brk])          # run starts (in cont_pos)
+        r1 = np.append(brk, cont_pos.size)       # run ends (exclusive)
+        run_start = cont_pos[r0]                 # first byte of each value
+        run_len = r1 - r0                        # continuation bytes
+        val_idx = run_start - r0                 # value index of each run
+        # torn-tail guards: value index past count, or a trailing
+        # continuation run with no end byte
+        keep = (val_idx < count) & (run_start + run_len < raw.size)
+        run_start, run_len, val_idx = (run_start[keep], run_len[keep],
+                                       val_idx[keep])
+        vals = np.zeros(run_start.size, dtype=np.uint64)
+        active = np.arange(run_start.size)
+        j = 0
+        while active.size:
+            vals[active] |= ((raw[run_start[active] + j]
+                              & np.uint8(0x7F)).astype(np.uint64)
+                             << np.uint64(7 * j))
+            j += 1
+            active = active[run_len[active] > j]
+        # the end byte (bit 7 clear) lands at shift 7·run_len
+        vals |= (raw[run_start + run_len].astype(np.uint64)
+                 << (np.uint64(7) * run_len.astype(np.uint64)))
+        out[val_idx] = vals
     return out
 
 
@@ -196,7 +218,8 @@ def decode_block(deltas: bytes, tfs: bytes, dls: bytes, n_docs: int):
         varint_decode(dls, n_docs).astype(np.int64)
 
 
-def decode_blocks_concat(deltas_bufs, tfs_bufs, dls_bufs, n_docs):
+def decode_blocks_concat(deltas_bufs, tfs_bufs, dls_bufs, n_docs,
+                         compact: bool = False):
     """Decode MANY blocks in one vectorized pass.
 
     Varints are self-delimiting, so the concatenation of per-block
@@ -204,14 +227,22 @@ def decode_blocks_concat(deltas_bufs, tfs_bufs, dls_bufs, n_docs):
     cumsum is recovered as a segmented cumsum (global cumsum minus a
     per-block base). One numpy call per posting list instead of one
     per 128-posting block — the serving/scoring hot path.
+
+    ``compact=True`` keeps tf/dl in their minimal decoded dtype
+    (uint8 view for the common all-1-byte streams — no 8× widening
+    pass) and skips the docids' int64 re-materialization; values are
+    identical, only dtypes differ (docids stay int64).
     """
     n_docs = np.asarray(n_docs, dtype=np.int64)
     total = int(n_docs.sum())
     if total == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy(), z.copy()
-    d = varint_decode(b"".join(deltas_bufs), total).astype(np.int64)
-    csum = np.cumsum(d)
+    d = varint_decode(b"".join(deltas_bufs), total, compact=compact)
+    # cumsum in int64 regardless of the decoded dtype (uint64 values
+    # are < 2^61 so the signed view/cast is exact)
+    csum = np.cumsum(d.view(np.int64) if d.dtype == np.uint64 else d,
+                     dtype=np.int64)
     starts = np.empty(n_docs.size, dtype=np.int64)
     starts[0] = 0
     np.cumsum(n_docs[:-1], out=starts[1:])
@@ -219,6 +250,9 @@ def decode_blocks_concat(deltas_bufs, tfs_bufs, dls_bufs, n_docs):
     nz = starts > 0
     base[nz] = csum[starts[nz] - 1]
     docids = csum - np.repeat(base, n_docs)
-    tfs = varint_decode(b"".join(tfs_bufs), total).astype(np.int64)
-    dls = varint_decode(b"".join(dls_bufs), total).astype(np.int64)
+    tfs = varint_decode(b"".join(tfs_bufs), total, compact=compact)
+    dls = varint_decode(b"".join(dls_bufs), total, compact=compact)
+    if not compact:
+        tfs = tfs.astype(np.int64)
+        dls = dls.astype(np.int64)
     return docids, tfs, dls

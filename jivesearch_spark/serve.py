@@ -45,11 +45,53 @@ _POSTING_COLS = ["term", "shard", "block_id", "first_docid", "last_docid",
                  "n_docs", "max_score_ub", "deltas", "tfs", "dls"]
 
 
+_ARENAS_RETAINED = False
+
+
+def _retain_malloc_arenas():
+    """Keep large freed allocations in the heap instead of returning
+    them to the OS (glibc mallopt): every numpy temporary above
+    M_MMAP_THRESHOLD (128 KB default) is otherwise a fresh mmap that
+    is unmapped on free, so each query's bulk arrays re-page-fault at
+    this VM's hypervisor-amplified fault rate (~250 MB/s measured —
+    the dense-merge decode spent more time faulting than decoding).
+    A serving tier's RSS then sits at its bounded high-water mark
+    (the eviction budgets bound peak usage), which is the right
+    trade for a latency tier. No-op off glibc."""
+    global _ARENAS_RETAINED
+    if _ARENAS_RETAINED:
+        return
+    try:
+        import ctypes
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 1 << 30)   # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)   # M_TRIM_THRESHOLD
+        _ARENAS_RETAINED = True
+    except Exception:
+        return
+    try:
+        import os
+
+        import numpy as np
+
+        # pre-fault the retained arena once (the serving analog of the
+        # build JVMs' -Xms pre-commit): the first query otherwise pays
+        # first-touch faults on every bulk array it allocates
+        mb = int(os.environ.get("JIVESEARCH_SERVE_PRETOUCH_MB", "512"))
+        if mb > 0:
+            scratch = np.empty(mb * (1 << 17))   # mb MiB of float64
+            scratch[::512] = 0.0                 # touch every page
+            del scratch
+    except Exception:
+        pass
+
+
 class LocalIndex:
     """Driver/serving-process handle on an on-disk index."""
 
     def __init__(self, root: str):
         import pyarrow.dataset as ds
+        _retain_malloc_arenas()
         self.root = root
         self.man = Manifest.load(root)
         if self.man is None or not self.man.done:

@@ -264,6 +264,48 @@ def _warc_record(url: str, ts: dt.datetime, html: bytes,
     return hdr + http + b"\r\n\r\n"
 
 
+def write_warc_segments(pages: DataFrame, out_dir: str,
+                        n_files: int = 16,
+                        per_record_gzip: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, …) → ``n_files`` Common-Crawl-layout
+    segment files (``part-<i>.warc.gz``, one gzip member per record)
+    under ``out_dir``.
+
+    Executor-parallel: one repartition, then each task streams its
+    partition through ``warc_bytes`` chunkwise into its own file —
+    peak task memory is one Arrow batch, not a segment. Returns the
+    (path, n_pages, bytes) summary frame (an action on it performs the
+    write). Files land on storage shared by the cluster (local dir on
+    local mode; at real scale point this at the shared filesystem)."""
+    import os
+
+    from .session import ensure_shipped
+    ensure_shipped(pages.sparkSession)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc"
+                            + (".gz" if per_record_gzip else ""))
+        n = b = 0
+        with open(path, "wb") as f:
+            for pdf in batches:
+                buf = warc_bytes(
+                    zip(pdf["url"], pdf["warc_ts"], pdf["html"]),
+                    per_record_gzip=per_record_gzip)
+                f.write(buf)
+                n += len(pdf)
+                b += len(buf)
+        yield pd.DataFrame({"path": [path], "n_pages": [n],
+                            "bytes": [b]})
+
+    return (pages.select("url", "warc_ts", "html").repartition(n_files)
+            .mapInPandas(_write, schema="path string, n_pages long, "
+                                        "bytes long"))
+
+
 def warc_bytes(rows, per_record_gzip: bool = True) -> bytes:
     """(url, warc_ts, html) tuples → one WARC file's bytes.
     ``per_record_gzip`` emits the Common Crawl layout (one gzip member
