@@ -68,12 +68,36 @@ def varint_decode(buf: bytes, count: int, compact: bool = False) -> np.ndarray:
     raw = np.frombuffer(buf, dtype=np.uint8)
     if len(raw) == count:        # every value < 128: bytes ARE the values
         return raw if compact else raw.astype(np.uint64)
-    # mixed stream: pay O(multi-byte values), not O(values). Posting
-    # streams are overwhelmingly 1-byte (only block-start absolute
-    # docids and rare >127 gaps go long), so the hot path is: start
-    # from the END byte of every value (1-byte values ARE their end
-    # byte), then patch the few multi-byte values assembled from the
-    # continuation-byte runs.
+    if count < 4096:
+        # small mixed stream (single-block decodes on the probe path):
+        # the classic starts/lengths walk has fewer small-array ops
+        # than the run-patching path below — temporaries are trivial
+        # at this size, per-call overhead is what matters
+        is_end = (raw & 0x80) == 0
+        ends = np.flatnonzero(is_end)[:count]
+        starts = np.empty(count, dtype=np.int64)
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+        lengths = ends - starts + 1
+        kmax = int(lengths.max())
+        out = (raw[starts] & np.uint64(0x7F)).astype(np.uint64)
+        active = np.flatnonzero(lengths > 1)
+        idx = starts[active]
+        for j in range(1, kmax):
+            idx = idx + 1
+            out[active] |= ((raw[idx] & np.uint64(0x7F)).astype(np.uint64)
+                            << np.uint64(7 * j))
+            if j + 1 < kmax:
+                still = lengths[active] > j + 1
+                active = active[still]
+                idx = idx[still]
+        return out
+    # large mixed stream: pay O(multi-byte values), not O(values).
+    # Posting streams are overwhelmingly 1-byte (only block-start
+    # absolute docids and rare >127 gaps go long), so the hot path is:
+    # start from the END byte of every value (1-byte values ARE their
+    # end byte), then patch the few multi-byte values assembled from
+    # the continuation-byte runs.
     cont = raw >= 0x80
     out = raw[~cont][:count].astype(np.uint64)
     cont_pos = np.flatnonzero(cont)
