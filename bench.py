@@ -977,6 +977,30 @@ def main():
         for nd, effs in sorted(x_by_docs.items()):
             results[f"exec4_ledger_clean_{nd // 1000}k"] = [
                 round(e, 3) for e in effs]
+    # half-box constant-shape pairs (round-5 de-confound,
+    # tools/exec_halfbox_pair.py): local-cluster[1,4] vs [2,4] on ≤ 9
+    # of 32 cores, so the full-box memory-bus saturation that caps the
+    # exec4 rows never engages; eff = t1/(2·t2). Published per input
+    # size — different fixed-cost regimes never pool.
+    h_rows = []
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as _f:
+            for _ln in _f:
+                _ln = _ln.strip()
+                if _ln and not _ln.startswith("#"):
+                    _r = json.loads(_ln)
+                    if _r.get("protocol", "").startswith("strong_exec2"):
+                        h_rows.append(_r)
+    if h_rows:
+        results["exec2_halfbox_pairs"] = len(h_rows)
+        h_by_docs: dict[int, list] = {}
+        for r in h_rows:
+            if r.get("clean") and r["eff"] <= 1.0:
+                h_by_docs.setdefault(int(r.get("n_docs", 0)), []).append(
+                    r["eff"])
+        for nd, effs in sorted(h_by_docs.items()):
+            results[f"exec2_halfbox_clean_{nd // 1000}k"] = [
+                round(e, 3) for e in effs]
     if led_weak:
         # weak-pair corroboration rows (1 vs 4 real executor JVMs at
         # 1x vs 4x input) measured earlier in the round by the same
