@@ -44,26 +44,43 @@ PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
 _KEEP_TYPES = ("response", "resource")
 
 
+#: feed size for member-wise decompression: bounds the per-member
+#: ``unused_data`` copy (the naive ``buf[pos:]`` slice + full-tail
+#: unused_data made a 50k-member segment O(n²) — 1,561 pages/s in the
+#: round-5 bench rehearsal instead of ~50k/s)
+_GZ_CHUNK = 1 << 20
+
+
 def iter_gzip_members(buf: bytes):
     """Yield the decompressed bytes of each gzip member in a
     multi-member stream (Common Crawl's one-member-per-record layout).
     Stops at the first undecodable trailing garbage rather than
     raising — truncated tail records are skipped, matching the
-    crawler's skip-on-error shape (crawler.go:311-322)."""
-    pos = 0
+    crawler's skip-on-error shape (crawler.go:311-322).
+
+    Linear in the stream size: the compressed buffer is fed to each
+    member's decompressor in bounded chunks through a memoryview, so
+    the per-member overshoot (``unused_data``) copies at most one
+    chunk, never the whole remaining tail."""
+    mv = memoryview(buf)
     n = len(buf)
+    pos = 0
     while pos < n and buf[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=47)  # 32+15: gzip header auto
+        out = []
+        p = pos
         try:
-            out = d.decompress(buf[pos:])
-            out += d.flush()
+            while not d.eof and p < n:
+                take = mv[p:p + _GZ_CHUNK]
+                out.append(d.decompress(take))
+                p += len(take)
+            out.append(d.flush())
         except zlib.error:
             return
-        yield out
-        rest = d.unused_data
-        if not rest:
-            return
-        pos = n - len(rest)
+        if not d.eof:
+            return                        # truncated final member
+        yield b"".join(out)
+        pos = p - len(d.unused_data)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
