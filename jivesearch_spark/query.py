@@ -1043,18 +1043,26 @@ def _topk_dense_merge(dense: dict, k: int, msm_req: int,
         cand = (live + lo).astype(np.int64)
         total = tot[live]
     else:
+        # sparse/re-id'd docid space: compact the ids with np.unique,
+        # then run the SAME per-term sequential scatter as the span
+        # branch into the compacted array — np.add.reduceat is NOT
+        # usable here (it sums segments pairwise, which breaks the
+        # strict sorted-term-order float accumulation the rank rule
+        # pins; caught by the dense-merge unit gates)
         dd = np.concatenate([p["docids"] for p in parts])
-        ss = np.concatenate([p["scores"] for p in parts])
-        ti = np.concatenate([np.full(p["docids"].size, i, dtype=np.int32)
-                             for i, p in enumerate(parts)])
-        key = np.lexsort((ti, dd))
-        dd, ss = dd[key], ss[key]
-        starts = np.flatnonzero(np.diff(dd, prepend=dd[0] - 1))
-        cand = dd[starts].astype(np.int64)
-        total = np.add.reduceat(ss, starts)
+        cand, inv = np.unique(dd, return_inverse=True)
+        total = np.zeros(cand.size)
+        cnt = np.zeros(cand.size, dtype=np.int32)
+        o = 0
+        for p in parts:
+            sl = inv[o:o + p["docids"].size]
+            total[sl] += p["scores"]
+            cnt[sl] += 1
+            o += p["docids"].size
         if msm_req:
-            m = np.diff(np.append(starts, dd.size)) >= msm_req
+            m = cnt >= msm_req
             cand, total = cand[m], total[m]
+        cand = cand.astype(np.int64)
         if cand.size == 0:
             return zero
     kloc = min(k, cand.size)

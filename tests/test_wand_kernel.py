@@ -262,3 +262,80 @@ def test_lazy_kernel_boosted_weights_need_boosted_bounds():
     # the failure mode the fielded tb construction must avoid)
     bad, _ = topk(scale_ub=False)
     assert bad != want
+
+
+# ---------------------------------------------------------------------------
+# dense-merge finisher (round-5): rank identity in every branch
+# ---------------------------------------------------------------------------
+
+def _dense_from_lists(lists):
+    """{term: (docids, scores)} → the _topk_dense_merge input shape."""
+    return {t: {"docids": np.asarray(d, dtype=np.int64),
+                "scores": np.asarray(s, dtype=np.float64),
+                "max_ub": float(np.max(s)) if len(s) else 0.0}
+            for t, (d, s) in lists.items()}
+
+
+def _merge_cases(rng, n_docs, id_stride):
+    """Random multi-term posting sets; ``id_stride`` > 1 spreads the
+    docid space so span ≫ postings — forcing the sparse
+    sort-merge branch instead of the dense scatter."""
+    lists = {}
+    for ti in range(5):
+        n = int(rng.integers(1, 400))
+        d = id_stride * np.sort(rng.choice(np.arange(n_docs), size=n,
+                                           replace=False))
+        s = rng.uniform(0.01, 3.0, size=n)
+        lists[f"t{ti}"] = (d, s)
+    return lists
+
+
+@pytest.mark.parametrize("id_stride", [1, 10**9])
+@pytest.mark.parametrize("msm", [0, 3])
+def test_dense_merge_matches_brute(id_stride, msm):
+    """_topk_dense_merge ≡ _topk_from_terms on both branches (dense
+    scatter for small spans, (docid, term)-lexsort + reduceat for
+    sparse/re-id'd spaces), with and without minimum-should-match."""
+    from jivesearch_spark.query import _topk_dense_merge, _topk_from_terms
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        dense = _dense_from_lists(_merge_cases(rng, 3000, id_stride))
+        got = _topk_dense_merge(dense, 10, msm)
+        want = _topk_from_terms(dense, 10, msm, False)
+        assert got[0].tolist() == want[0].tolist(), trial
+        assert all(float(a) == float(b)
+                   for a, b in zip(got[1], want[1])), trial
+
+
+def test_dense_merge_theta_bound_exact():
+    """theta (a valid k-th-best lower bound) must not change the
+    result — including a too-tight theta, which the widen guard
+    recovers from, and the rounded-tie slack at the pool boundary."""
+    from jivesearch_spark.query import _topk_dense_merge, _topk_from_terms
+    rng = np.random.default_rng(12)
+    dense = _dense_from_lists(_merge_cases(rng, 3000, 1))
+    want = _topk_from_terms(dense, 10, 0, False)
+    kth = float(np.min(want[1]))
+    for theta in (-np.inf, 0.0, kth / 2, kth, kth - 1e-10):
+        got = _topk_dense_merge(dense, 10, 0, theta=theta)
+        assert got[0].tolist() == want[0].tolist(), theta
+        assert all(float(a) == float(b)
+                   for a, b in zip(got[1], want[1])), theta
+    # a theta ABOVE the true k-th (never produced by the sweep, but
+    # the widen guard makes even that safe)
+    got = _topk_dense_merge(dense, 10, 0, theta=kth * 1.5)
+    assert got[0].tolist() == want[0].tolist()
+
+
+def test_dense_merge_fewer_than_k_and_empty():
+    from jivesearch_spark.query import _topk_dense_merge
+    # fewer eligible docs than k
+    dense = _dense_from_lists({"a": ([5, 9], [1.0, 2.0]),
+                               "b": ([9], [0.5])})
+    d, s = _topk_dense_merge(dense, 10, 0)
+    assert d.tolist() == [9, 5] and np.allclose(s, [2.5, 1.0])
+    # msm excludes everything
+    d, s = _topk_dense_merge(dense, 10, 2)
+    assert d.tolist() == [9]
+    d, s = _topk_dense_merge({}, 10, 0)
+    assert d.size == 0
