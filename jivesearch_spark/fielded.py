@@ -259,7 +259,17 @@ def _score_from_arrays(arrays, plan, k, msm_req):
     if cand.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0)
     kloc = min(k, cand.size)
-    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
+    r = np.round(total, 9)
+    if cand.size > 4 * k:
+        # threshold on the ROUNDED scores first (exact: the pool keeps
+        # every doc at/above the k-th rounded score, ties included), so
+        # the pinned (-rounded, docid) lexsort runs over ~k rows
+        # instead of every candidate — the full-array sort was the one
+        # multi-million-candidate pass left in this finisher
+        thr = np.partition(r, cand.size - kloc)[cand.size - kloc]
+        pool = np.flatnonzero(r >= thr)
+        cand, total, r = cand[pool], total[pool], r[pool]
+    idx = np.lexsort((cand, -r))[:kloc]
     return cand[idx].astype(np.int64), total[idx]
 
 
