@@ -439,6 +439,23 @@ def _probe_term(d: dict, st: dict, cand: np.ndarray, k1: float, b: float,
 _WAND_SLACK = 1e-9
 
 
+def _pinned_topk(cand: np.ndarray, total: np.ndarray, k: int):
+    """Top-k under the pinned (-round(score, 9), docid) rule.
+
+    Thresholds on the rounded scores first (exact: the pool keeps
+    every row at/above the k-th rounded score, ties included), so the
+    lexsort runs over ~k rows instead of every scored candidate — the
+    brute oracle at millions of candidates was one full-array sort."""
+    kloc = min(k, cand.size)
+    r = np.round(total, 9)
+    if cand.size > 4 * k:
+        thr = np.partition(r, cand.size - kloc)[cand.size - kloc]
+        pool = np.flatnonzero(r >= thr)
+        cand, total, r = cand[pool], total[pool], r[pool]
+    idx = np.lexsort((cand, -r))[:kloc]
+    return cand[idx].astype(np.int64), total[idx]
+
+
 def _range_max_table(vals: np.ndarray) -> list:
     """Sparse table for O(1) range-max queries: levels[k][i] =
     max(vals[i : i + 2^k]). Built per wave over a term's live block
@@ -840,9 +857,7 @@ def _topk_blockmax_lazy(tb: dict, k: int, msm_req: int,
         cand, total = cand[okm], total[okm]
     if cand.size == 0:
         return zero
-    kloc = min(k, cand.size)
-    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
-    return cand[idx].astype(np.int64), total[idx]
+    return _pinned_topk(cand, total, k)
 
 
 #: stop margin for the impact-ordered sweep: with θ − T > 2·0.5e-9,
@@ -947,9 +962,7 @@ def _topk_impact_ordered(dense: dict, k: int, msm_req: int,
         cand, total = cand[okm], total[okm]
     if cand.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0)
-    kloc = min(k, cand.size)
-    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
-    return cand[idx].astype(np.int64), total[idx]
+    return _pinned_topk(cand, total, k)
 
 
 #: candidate-flood threshold that flips the prefix-TA sweep into the
@@ -1590,9 +1603,7 @@ def _topk_impact_prefix(tb: dict, k: int, msm_req: int,
         cand, total = cand[okm], total[okm]
     if cand.size == 0:
         return zero
-    kloc = min(k, cand.size)
-    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
-    return cand[idx].astype(np.int64), total[idx]
+    return _pinned_topk(cand, total, k)
 
 
 def _exact_scores_over(sources: dict, names, cand: np.ndarray):
@@ -1687,10 +1698,8 @@ def _topk_from_terms(terms: dict, k: int, msm_req: int, use_wand: bool):
     if cand.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0)
 
-    kloc = min(k, cand.size)
     # top-k by (-round(score,9), docid) — the pinned tie-break
-    idx = np.lexsort((cand, -np.round(total, 9)))[:kloc]
-    return cand[idx].astype(np.int64), total[idx]
+    return _pinned_topk(cand, total, k)
 
 
 def bm25_topk_batch(reader: IndexReader, queries: list[tuple[str, str]],
