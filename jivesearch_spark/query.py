@@ -917,15 +917,11 @@ def _topk_impact_ordered(dense: dict, k: int, msm_req: int,
         if n_ok >= k and theta - T > _TA_SLACK:
             break
         if consumed > 0.25 * total_postings:
-            # no separation — finish brute over everything unseen
-            rest = _drop_scored(np.unique(np.concatenate(
-                [dense[t]["docids"] for t in names])), scored)
-            if rest.size:
-                tot, mat = exact_scores(rest)
-                got_d.append(rest)
-                got_s.append(tot)
-                got_m.append(mat)
-            break
+            # no separation — finish with the vectorized scatter-merge
+            # over the (already decoded) arrays; θ is a valid lower
+            # bound for its pool extraction, and the merge's complete
+            # exact totals supersede the partial got_* pools
+            return _topk_dense_merge(dense, k, msm_req, theta=theta)
         cands = []
         for t in names:
             lo = pos[t]
